@@ -1,38 +1,406 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 (plus the
+training-data extensions); ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible query. Geohash encode / geocode are implemented twice —
+JVM-native Spark expressions and DuckDB SQL — both proven bit-identical to
+the golden-tested NumPy kernels (tests/test_functions_spark.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from geohash_dotnet_spark.functions import with_geohash  # noqa: E402
+from geohash_dotnet_spark.functions.native import haversine_m  # noqa: E402
+from geohash_dotnet_spark.functions.oracle import pages_sql, pages_tagged_sql  # noqa: E402
+from geohash_dotnet_spark.kernels import compress as kcompress  # noqa: E402
+from geohash_dotnet_spark.kernels import cover_circle, cover_polygon  # noqa: E402
+from geohash_dotnet_spark.operators import (  # noqa: E402
+    compress_cells,
+    cosine_topk,
+    duplicate_groups,
+    extract_features,
+    knn_join,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    spatial_join,
+    synthetic_media,
+    tile_stats,
+    with_quality,
+    with_token_stats,
+)
+from geohash_dotnet_spark.operators.dedup import ngram_jaccard_sql  # noqa: E402
+from geohash_dotnet_spark.operators.similarity import cosine_topk_sql  # noqa: E402
+from geohash_dotnet_spark.operators.text import (  # noqa: E402
+    fp6,
+    fp6_sql,
+    quality_sql,
+    token_stats_sql,
+)
+from geohash_dotnet_spark.sources.pages import pages  # noqa: E402
+
+REP = 8  # pages replication at correctness scale
+
+# Fixed query geometry (edges < 180 deg lon jumps: no antimeridian handling)
+RECT_WKT = "POLYGON((-85 -60, 0 -60, 85 -60, 85 60, 0 60, -85 60, -85 -60))"
+RECT = dict(min_lat=-60.0, max_lat=60.0, min_lon=-85.0, max_lon=85.0)
+CIRCLE = dict(lat=40.7128, lon=-74.0060, radius_m=3_000_000.0, precision=2)
+KNN_QUERIES = [("q_berlin", 52.52, 13.405), ("q_sydney", -33.87, 151.21),
+               ("q_lima", -12.05, -77.04)]
+KNN_K = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages(spark, sf_dir, replicate=REP)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_encode_p5(spark, sf_dir):
+    """gh_encode: JVM-native geohash of every page at precision 5."""
+    return (with_geohash(_pages(spark, sf_dir), "lat", "lon", 5)
+            .select("url", "lat", "lon", "gh"))
+
+
+def q_tile_counts_p2(spark, sf_dir):
+    """Aggregation: per-tile page counts at precision 2."""
+    return (tile_stats(_pages(spark, sf_dir), precision=2)
+            .select("tile", "n_pages", "n_urls"))
+
+
+def q_tile_rollup(spark, sf_dir):
+    """Hierarchy: p4 tiles rolled up to their p1 ancestor (parent op)."""
+    pg = with_geohash(_pages(spark, sf_dir), "lat", "lon", 4)
+    return (pg.groupBy(F.substring("gh", 1, 1).alias("tile1"))
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct(F.substring("gh", 1, 4)).alias("n_tiles_p4"))
+            .orderBy("tile1"))
+
+
+def q_spatial_join_rect(spark, sf_dir):
+    """Core spatial join: pages -> broadcast covering of RECT (p2,
+    intersects) -> per-cell counts."""
+    cov_cells = cover_polygon(RECT_WKT, 2, "intersects")
+    cov = spark.createDataFrame([(c,) for c in cov_cells], "cell string")
+    joined = spatial_join(_pages(spark, sf_dir), cov, precision=2)
+    return (joined.groupBy("gh").agg(F.count(F.lit(1)).alias("n_pages"))
+            .select(F.col("gh").alias("cell"), "n_pages"))
+
+
+def q_spatial_join_refined(spark, sf_dir):
+    """Join + exact refine: pages strictly inside RECT, counted per lang."""
+    cov_cells = cover_polygon(RECT_WKT, 2, "intersects")
+    cov = spark.createDataFrame([(c,) for c in cov_cells], "cell string")
+    joined = spatial_join(_pages(spark, sf_dir), cov, precision=2,
+                          how="left_semi")
+    inside = joined.filter(
+        (F.col("lat") > RECT["min_lat"]) & (F.col("lat") < RECT["max_lat"])
+        & (F.col("lon") > RECT["min_lon"]) & (F.col("lon") < RECT["max_lon"]))
+    return (inside.groupBy("lang").agg(F.count(F.lit(1)).alias("n_pages"))
+            .orderBy("lang"))
+
+
+def q_circle_join(spark, sf_dir):
+    """Radius query: circle covering (kernel) -> broadcast join -> exact
+    haversine refine (README.md:62-72 recipe)."""
+    cells = cover_circle(CIRCLE["lat"], CIRCLE["lon"], CIRCLE["radius_m"],
+                         CIRCLE["precision"], "intersects")
+    cov = spark.createDataFrame([(c,) for c in cells], "cell string")
+    pg = spatial_join(_pages(spark, sf_dir), cov,
+                      precision=CIRCLE["precision"], how="left_semi")
+    d = haversine_m(F.lit(CIRCLE["lat"]), F.lit(CIRCLE["lon"]),
+                    F.col("lat"), F.col("lon"))
+    return (pg.withColumn("dist_m", fp6(d))
+            .filter(F.col("dist_m") <= CIRCLE["radius_m"])
+            .select("url", "dist_m")
+            .orderBy("dist_m", "url"))
+
+
+def q_knn(spark, sf_dir):
+    """kNN via cell-ring expansion + window top-k."""
+    queries = pd.DataFrame(KNN_QUERIES, columns=["query_id", "lat", "lon"])
+    out = knn_join(spark, _pages(spark, sf_dir), queries, k=KNN_K,
+                   initial_radius_m=500_000.0)
+    return (out.select("query_id", "rank", "url",
+                       fp6(F.col("dist_m")).alias("dist_m"))
+            .orderBy("query_id", "rank"))
+
+
+def q_compress_covering(spark, sf_dir):
+    """Covering-set compression of the California p4 intersects covering."""
+    wkt = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests/golden/california_p5_contains.wkt")).read()
+    cells = cover_polygon(wkt, 4, "intersects")
+    df = spark.createDataFrame([(c,) for c in cells], "cell string")
+    return compress_cells(df).orderBy("cell")
+
+
+def q_exact_dedup_groups(spark, sf_dir):
+    """Exact dedup: fingerprint groups over replicated pages."""
+    return (duplicate_groups(_pages(spark, sf_dir), id_col="url")
+            .select("fingerprint", "n_dups",
+                    F.col("keep_id").alias("keep_url"))
+            .orderBy("fingerprint"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by 3-gram Jaccard >= 0.5 (fully relational)."""
+    return (ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (verified by exact Jaccard). Non-SQL."""
+    return (minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+            .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 12). Non-SQL."""
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12) \
+        .orderBy("id_a", "id_b")
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting over documents (native exprs)."""
+    return (with_token_stats(_docs(spark, sf_dir))
+            .select("doc_id", "n_tokens", "n_chars_text", "avg_token_len")
+            .orderBy("doc_id"))
+
+
+def q_quality(spark, sf_dir):
+    """Quality scoring + heuristic language ID."""
+    return (with_quality(_docs(spark, sf_dir))
+            .select("doc_id", "stopword_ratio", "lang_pred", "quality_score")
+            .orderBy("doc_id"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embeddings table."""
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (cosine_topk(emb, queries, k=10)
+            .orderBy("q_id", "rank"))
+
+
+def q_lsh_cosine_topk(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-k (scale path). Non-SQL."""
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (lsh_cosine_topk(emb, queries, k=10, dim=64)
+            .orderBy("q_id", "rank"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction plumbing (deterministic fake
+    decoder; real codecs unavailable in this env). Non-SQL."""
+    media = synthetic_media(_pages(spark, sf_dir).limit(100))
+    out = extract_features(media, decoder="fake")
+    return out.select("url", "media_type", "width", "height",
+                      F.round(F.element_at("features", 1).cast("double"), 6)
+                      .alias("f0")).orderBy("url")
+
+
+def q_flagship(spark, sf_dir):
+    """Flagship: geocode -> gh p3 -> rect covering join -> quality ->
+    per-(tile1, lang) page counts + avg quality."""
+    pg = with_quality(_pages(spark, sf_dir))
+    cov_cells = cover_polygon(RECT_WKT, 2, "intersects")
+    cov = spark.createDataFrame([(c,) for c in cov_cells], "cell string")
+    joined = spatial_join(pg, cov, precision=2, how="left_semi")
+    # fixed-point integer sum -> order-insensitive, bit-identical average
+    # across engines (quality_score is already rounded to 6 dp)
+    q_int = F.floor(F.col("quality_score") * 1e6 + F.lit(0.5)).cast("long")
+    return (joined.groupBy(F.substring("gh", 1, 1).alias("tile1"), "lang")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 fp6(F.sum(q_int) / F.count(F.lit(1)) / 1e6)
+                 .alias("avg_quality"))
+            .orderBy("tile1", "lang"))
+
+
+# TPC-H-style relational sanity (scan/filter/agg/join/window/limit)
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    def s6(col):
+        # order-insensitive exact sum: per-row fixed-point -> integer sum
+        return F.sum(F.floor(col * 1e6 + F.lit(0.5)).cast("long")) / F.lit(1e6)
+
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(s6(F.col("l_quantity")).alias("sum_qty"),
+                 s6(F.col("l_extendedprice")).alias("sum_base_price"),
+                 s6(disc).alias("sum_disc_price"),
+                 fp6(F.sum(F.floor(F.col("l_quantity") * 1e6 + F.lit(0.5)).cast("long"))
+                     / F.count(F.lit(1)) / F.lit(1e6)).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_top_customers(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg((F.sum(F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5))
+                        .cast("long")) / F.lit(1e6)).alias("total_spend"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+            .limit(25))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "gh_encode_p5": q_encode_p5,
+        "tile_counts_p2": q_tile_counts_p2,
+        "tile_rollup": q_tile_rollup,
+        "spatial_join_rect": q_spatial_join_rect,
+        "spatial_join_refined": q_spatial_join_refined,
+        "circle_join": q_circle_join,
+        "knn": q_knn,
+        "compress_covering": q_compress_covering,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "cosine_topk": q_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "multimodal_features": q_multimodal_features,
+        "flagship": q_flagship,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect; same parquet views)
+# ---------------------------------------------------------------------------
+
+def _cells_in_list(cells) -> str:
+    return ", ".join(f"'{c}'" for c in sorted(cells))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tagged2 = pages_tagged_sql(2, REP)
+    rect_cells = _cells_in_list(cover_polygon(RECT_WKT, 2, "intersects"))
+    circle_cells = _cells_in_list(cover_circle(
+        CIRCLE["lat"], CIRCLE["lon"], CIRCLE["radius_m"],
+        CIRCLE["precision"], "intersects"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    cal_wkt = open(os.path.join(here, "tests/golden/california_p5_contains.wkt")).read()
+    compress_expected = kcompress(cover_polygon(cal_wkt, 4, "intersects").tolist())
+    compress_values = ", ".join(f"('{c}')" for c in compress_expected)
+    knn_q = ", ".join(f"('{q}', CAST({la!r} AS DOUBLE), CAST({lo!r} AS DOUBLE))"
+                      for q, la, lo in KNN_QUERIES)
+    hav = ("2.0 * 6371008.8 * asin(least(1.0, sqrt("
+           "sin(radians(p.lat - q.qlat) / 2) * sin(radians(p.lat - q.qlat) / 2) "
+           "+ cos(radians(q.qlat)) * cos(radians(p.lat)) "
+           "* sin(radians(p.lon - q.qlon) / 2) * sin(radians(p.lon - q.qlon) / 2))))")
+    hav_c = hav.replace("q.qlat", repr(CIRCLE["lat"])).replace(
+        "q.qlon", repr(CIRCLE["lon"]))
+
+    return {
+        "gh_encode_p5":
+            f"SELECT url, lat, lon, gh FROM ({pages_tagged_sql(5, REP)})",
+        "tile_counts_p2":
+            f"SELECT gh AS tile, count(*) AS n_pages, "
+            f"count(DISTINCT url) AS n_urls FROM ({tagged2}) GROUP BY gh",
+        "tile_rollup":
+            f"SELECT substr(gh, 1, 1) AS tile1, count(*) AS n_pages, "
+            f"count(DISTINCT substr(gh, 1, 4)) AS n_tiles_p4 "
+            f"FROM ({pages_tagged_sql(4, REP)}) GROUP BY 1 ORDER BY tile1",
+        "spatial_join_rect":
+            f"SELECT gh AS cell, count(*) AS n_pages FROM ({tagged2}) "
+            f"WHERE gh IN ({rect_cells}) GROUP BY gh",
+        "spatial_join_refined":
+            f"SELECT lang, count(*) AS n_pages FROM ({tagged2}) "
+            f"WHERE gh IN ({rect_cells}) "
+            f"AND lat > {RECT['min_lat']} AND lat < {RECT['max_lat']} "
+            f"AND lon > {RECT['min_lon']} AND lon < {RECT['max_lon']} "
+            f"GROUP BY lang ORDER BY lang",
+        "circle_join":
+            f"SELECT url, dist_m FROM ("
+            f"SELECT url, {fp6_sql(hav_c)} AS dist_m "
+            f"FROM ({tagged2}) p WHERE gh IN ({circle_cells})) "
+            f"WHERE dist_m <= {CIRCLE['radius_m']!r} ORDER BY dist_m, url",
+        "knn":
+            f"WITH q(query_id, qlat, qlon) AS (VALUES {knn_q}), "
+            f"d AS (SELECT q.query_id, p.url, {fp6_sql(hav)} AS dist_m "
+            f"FROM ({pages_sql(REP)}) p CROSS JOIN q) "
+            f"SELECT query_id, rank, url, dist_m FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY dist_m, url) AS rank FROM d) WHERE rank <= {KNN_K} "
+            f"ORDER BY query_id, rank",
+        "compress_covering":
+            f"SELECT cell FROM (VALUES {compress_values}) t(cell) ORDER BY cell",
+        "exact_dedup_groups":
+            f"SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) "
+            f"AS fingerprint, count(*) AS n_dups, min(url) AS keep_url "
+            f"FROM ({pages_sql(REP)}) GROUP BY 1 HAVING count(*) > 1 "
+            f"ORDER BY fingerprint",
+        "ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
+        "token_stats":
+            f"SELECT doc_id, n_tokens, n_chars_text, avg_token_len "
+            f"FROM ({token_stats_sql()}) ORDER BY doc_id",
+        "quality":
+            f"SELECT doc_id, stopword_ratio, lang_pred, quality_score "
+            f"FROM ({quality_sql()}) ORDER BY doc_id",
+        "cosine_topk": cosine_topk_sql(10, [0, 1, 2, 3, 4]),
+        "flagship":
+            f"SELECT substr(gh, 1, 1) AS tile1, lang, count(*) AS n_pages, "
+            f"{fp6_sql('CAST(sum(CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0')} AS avg_quality "
+            f"FROM ({quality_sql(inner='(' + tagged2 + ')')}) "
+            f"WHERE gh IN ({rect_cells}) "
+            f"GROUP BY 1, 2 ORDER BY tile1, lang",
+        "pricing_summary":
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS sum_qty, "
+            "sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS sum_base_price, "
+            "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS sum_disc_price, "
+            "floor(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) "
+            "/ count(*) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS avg_qty, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus",
+        "top_customers":
+            "SELECT c_custkey, c_name, "
+            "sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 "
+            "AS total_spend, "
+            "count(*) AS n_orders FROM orders JOIN customer "
+            "ON o_custkey = c_custkey GROUP BY c_custkey, c_name "
+            "ORDER BY total_spend DESC, c_custkey LIMIT 25",
+    }

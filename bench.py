@@ -1,0 +1,121 @@
+"""Throughput bench: geohash encode + polygon coverage + spatial join over
+the deterministic pages table.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <pages/sec flagship>, "unit": "sec"?, ...}
+
+Env:
+    SPARK_GRAFT_SF_DIR   input dir  (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[N]   (default 32)
+    BENCH_REPLICATE      pages replication factor (default 200 -> 1M pages
+                         at sf0.1)
+
+The headline metric is pages/sec through the full flagship pipeline
+(geocode -> native gh encode -> broadcast covering join -> per-tile agg).
+Per-query wall seconds are reported in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName("geohash-dotnet-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.adaptive.enabled", "true")
+            # keep wide geohash/quality expressions inside whole-stage
+            # codegen (split generated methods before the 64KB JVM limit)
+            .config("spark.sql.codegen.methodSplitThreshold", "128")
+            .config("spark.driver.memory", "16g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("BENCH_REPLICATE", "200"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from geohash_dotnet_spark.functions import with_geohash
+    from geohash_dotnet_spark.kernels import cover_polygon
+    from geohash_dotnet_spark.operators import spatial_join, tile_stats
+    from geohash_dotnet_spark.sources.pages import pages
+
+    import __spark_entry__ as E
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # materialize the pages table once (parquet-like input working set)
+    pg = pages(spark, sf_dir, replicate=replicate)
+    n_pages = timed("build_pages", lambda: pg.cache().count())
+
+    # q1: native geohash encode p7 (the hot kernel)
+    enc = with_geohash(pg, "lat", "lon", 7)
+    timed("q1_encode_p7", lambda: enc.agg(F.count("gh"), F.min("gh"), F.max("gh")).collect())
+
+    # q2: polygon coverage (distributed California p6 intersects)
+    here = os.path.dirname(os.path.abspath(__file__))
+    cal = open(os.path.join(here, "tests/golden/california_p5_contains.wkt")).read()
+    from geohash_dotnet_spark.operators import cover_polygons
+    timed("q2_cover_california_p6",
+          lambda: cover_polygons(spark, [("ca", cal, 6, "intersects")]).count())
+
+    # q3: flagship spatial join + agg (the headline pages/sec path)
+    cov_cells = cover_polygon(E.RECT_WKT, 2, "intersects")
+    cov = spark.createDataFrame([(c,) for c in cov_cells], "cell string")
+
+    def flagship():
+        joined = spatial_join(pg, cov, precision=2, how="left_semi")
+        return (joined.groupBy(F.substring("gh", 1, 1), "lang")
+                .agg(F.count(F.lit(1))).collect())
+
+    timed("q3_flagship_join", flagship)
+
+    # q4: per-tile stats p5 (shuffle-heavy agg)
+    timed("q4_tile_stats_p5", lambda: tile_stats(pg, precision=5)
+          .agg(F.count(F.lit(1)), F.sum("n_pages")).collect())
+
+    # q5: exact dedup groups
+    from geohash_dotnet_spark.operators import duplicate_groups
+    timed("q5_dedup_groups", lambda: duplicate_groups(pg, id_col="url").count())
+
+    pipeline_s = timings["q1_encode_p7"] + timings["q3_flagship_join"]
+    pages_per_sec = round(n_pages / max(pipeline_s, 1e-9), 1)
+
+    print(json.dumps({
+        "metric": "pages_per_sec_encode_plus_spatial_join",
+        "value": pages_per_sec,
+        "unit": "pages/sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_pages,
+        "cpus": cpus,
+        "replicate": replicate,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""Dataflow operators (SURVEY.md §2 inventory + training-data extensions)."""
+
+from .coverage import cover_circles, cover_polygons, plan_polygon_tasks  # noqa: F401
+from .compress import compress_cells  # noqa: F401
+from .spatial_join import (  # noqa: F401
+    salted_join,
+    spatial_join,
+    spatial_join_refined,
+    tag_pages,
+    tile_stats,
+)
+from .knn import knn_join  # noqa: F401
+from .dedup import (  # noqa: F401
+    duplicate_groups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_bits,
+    simhash_near_pairs,
+)
+from .similarity import cosine_topk, lsh_cosine_topk, with_cosine  # noqa: F401
+from .text import (  # noqa: F401
+    with_fingerprint,
+    with_quality,
+    with_token_stats,
+)
+from .multimodal import extract_features, frame_sample_plan, synthetic_media  # noqa: F401

@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (array<float>).
+
+* cosine_topk          — brute-force top-k per query: broadcast the (small)
+                         query set, native higher-order-function dot
+                         product (zip_with + aggregate, JVM-side), window
+                         rank. The exactness baseline.
+* lsh_cosine_topk      — sign-random-projection LSH: H deterministic
+                         hyperplanes -> bit signature -> bucket join ->
+                         exact rerank inside buckets (with multi-probe on
+                         neighboring buckets). The 100TB scale path: the
+                         big side is touched by one narrow projection +
+                         bucket-key shuffle instead of a full cross join.
+
+The hyperplane matrix is derived from a fixed seed — deterministic across
+cluster sizes and runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def with_cosine(df: DataFrame, vec_a: str, vec_b: str,
+                out: str = "cosine") -> DataFrame:
+    """cosine(vec_a, vec_b) as a native column (arrays cast to double)."""
+    a = F.transform(F.col(vec_a), lambda x: x.cast("double"))
+    b = F.transform(F.col(vec_b), lambda x: x.cast("double"))
+    cos = _dot(a, b) / (_norm(a) * _norm(b))
+    # exact fixed-point 6dp (cross-engine round() ties differ by 1 ulp)
+    return df.withColumn(
+        out, F.floor(cos * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0))
+
+
+def cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries_df: (q_id, q_vec array<float>) — small, broadcast. Returns
+    (q_id, rank, vec_id, cosine).
+    """
+    joined = emb_df.crossJoin(F.broadcast(queries_df))
+    scored = with_cosine(joined, vec_col, q_vec, "cosine")
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
+                                         F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, "rank", id_col, "cosine"))
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.default_rng(20240202)
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_col(vec_col: str, dim: int, n_planes: int = 16):
+    """Sign-random-projection signature as a native expression: bit b set
+    iff dot(vec, plane_b) > 0. Hyperplanes folded in as literals — stays
+    JVM-side (no UDF)."""
+    planes = _hyperplanes(dim, n_planes)
+    sig = F.lit(0).cast("long")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for b in range(n_planes):
+        w = F.array(*[F.lit(float(x)) for x in planes[b]])
+        dot = F.aggregate(F.zip_with(v, w, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def lsh_cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
+                    dim: int = 64, n_planes: int = 12, probe_bits: int = 1,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:
+    """Approximate top-k: bucket join on the SRP signature with multi-probe
+    (flip up to ``probe_bits`` bits of the query signature), exact cosine
+    rerank inside the candidate set."""
+    tagged = emb_df.withColumn("sig", signature_col(vec_col, dim, n_planes))
+    q = queries_df.withColumn("sig0", signature_col(q_vec, dim, n_planes))
+    # multi-probe: query matches its own bucket + all 1-bit-flip buckets
+    probes = [F.col("sig0")]
+    if probe_bits >= 1:
+        probes += [F.col("sig0").bitwiseXOR(F.lit(1 << b))
+                   for b in range(n_planes)]
+    q = q.withColumn("sig", F.explode(F.array(*probes)))
+    cand = tagged.join(F.broadcast(q.select(q_id, q_vec, "sig")),
+                       on="sig", how="inner")
+    scored = with_cosine(cand, vec_col, q_vec, "cosine")
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
+                                         F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, "rank", id_col, "cosine"))
+
+
+def cosine_topk_sql(k: int, query_ids: list[int],
+                    inner: str = "embeddings") -> str:
+    """DuckDB oracle twin of cosine_topk for queries drawn from the
+    embeddings table itself by vec_id."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM {inner}
+  WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         floor(
+           list_sum(list_transform(list_zip(e.embedding, q.q_vec),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+              * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * x))))
+           * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM {inner} e CROSS JOIN q
+)
+SELECT q_id, rank, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents``/pages tables: token counting, quality scoring, language-ID
+heuristic, and document fingerprinting.
+
+Every operator is a native-expression DataFrame transform (JVM-side,
+whole-stage codegen, no Python) with an exact DuckDB oracle twin
+(the *_sql strings below) so the driver's correctness gate can verify
+values, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fp6(col):
+    """Exact fixed-point 6-dp rounding: floor(x*1e6 + 0.5)/1e6 — floor is
+    exact and identical across Spark and DuckDB (plain round() tie handling
+    differs by 1 ulp between engines)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def fp6_sql(expr: str) -> str:
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "mit", "von", "zu", "auf"),
+    "es": ("el", "la", "los", "y", "de", "que", "en", "un", "es", "con"),
+    "fr": ("le", "la", "les", "et", "de", "un", "est", "en", "que", "pour"),
+}
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """n_tokens, n_chars_text, avg_token_len — native exprs."""
+    toks = _tokens(F.col(text))
+    return df.withColumns({
+        "n_tokens": F.size(toks),
+        "n_chars_text": F.length(F.col(text)),
+        "avg_token_len": fp6(
+            (F.length(F.regexp_replace(F.col(text), r"\s+", ""))
+             / F.greatest(F.size(toks), F.lit(1))).cast("double")),
+    })
+
+
+def token_stats_sql(inner: str = "documents", text: str = "text") -> str:
+    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
+    stripped = f"regexp_replace({text}, '\\s+', '', 'g')"
+    ratio = f"CAST(length({stripped}) AS DOUBLE) / greatest(len({toks}), 1)"
+    return (
+        f"SELECT *, len({toks}) AS n_tokens, length({text}) AS n_chars_text, "
+        f"{fp6_sql(ratio)} AS avg_token_len "
+        f"FROM {inner}"
+    )
+
+
+def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-ratio quality score + heuristic language ID.
+
+    lang_pred = argmax over per-language stopword hit counts (n-gram-free
+    heuristic suited to the synthetic corpus); quality_score combines
+    length and stopword signals into [0, 1].
+    """
+    toks = _tokens(F.col(text))
+    n = F.greatest(F.size(toks), F.lit(1))
+    hit_cols = {}
+    for lang, words in STOPWORDS.items():
+        quoted = ", ".join(f"'{w}'" for w in words)
+        hit_cols[f"__hits_{lang}"] = F.expr(
+            f"size(filter(split(trim(lower({text})), '\\\\s+'), "
+            f"x -> x in ({quoted})))")
+    out = df.withColumns(hit_cols)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"__hits_{l}") for l in langs])
+    # first language (in STOPWORDS order) achieving the max wins ties
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((F.col(f"__hits_{lang}") == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    total_hits = sum([F.col(f"__hits_{l}") for l in langs], F.lit(0))
+    out = out.withColumns({
+        "stopword_ratio": fp6((total_hits / n).cast("double")),
+        "lang_pred": pred,
+        "quality_score": fp6(
+            F.least(F.lit(1.0),
+                    (total_hits / n) * 2.0
+                    + F.least(F.size(toks) / F.lit(400.0), F.lit(0.5))
+                    ).cast("double")),
+    })
+    return out.drop(*hit_cols.keys())
+
+
+def quality_sql(inner: str = "documents", text: str = "text") -> str:
+    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
+    hits = {}
+    for lang, words in STOPWORDS.items():
+        quoted = ", ".join(f"'{w}'" for w in words)
+        hits[lang] = f"len(list_filter({toks}, x -> x in ({quoted})))"
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (f"CASE WHEN h_{lang} = {best} AND {best} > 0 "
+                f"THEN '{lang}' ELSE {pred} END")
+    total = " + ".join(f"h_{l}" for l in langs)
+    inner_sel = ", ".join(f"{expr} AS h_{l}" for l, expr in hits.items())
+    ratio = f"CAST(({total}) AS DOUBLE) / n"
+    score = (f"least(1.0, CAST(({total}) AS DOUBLE) / n * 2.0 "
+             f"+ least(len({toks}) / 400.0, 0.5))")
+    return (
+        f"SELECT * EXCLUDE (h_en, h_de, h_es, h_fr, n), "
+        f"{fp6_sql(ratio)} AS stopword_ratio, "
+        f"{pred} AS lang_pred, "
+        f"{fp6_sql(score)} AS quality_score "
+        f"FROM (SELECT *, {inner_sel}, greatest(len({toks}), 1) AS n FROM {inner})"
+    )
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace-normalized md5 document fingerprint (portable)."""
+    return df.withColumn(
+        "fingerprint",
+        F.md5(F.regexp_replace(F.trim(F.lower(F.col(text))), r"\s+", " ")))
+
+
+def fingerprint_sql_expr(text: str = "text") -> str:
+    return f"md5(regexp_replace(trim(lower({text})), '\\s+', ' ', 'g'))"

@@ -1,0 +1,43 @@
+"""Structured Streaming tile counts (availableNow, offline)."""
+
+from pyspark.sql import functions as F
+
+from geohash_dotnet_spark.sources.pages import pages
+from geohash_dotnet_spark.streaming.tiles import (
+    run_available_now,
+    streaming_tile_counts,
+)
+
+
+def test_streaming_tile_counts_matches_batch(spark, sf_small, tmp_path):
+    src = str(tmp_path / "src")
+    pg = pages(spark, sf_small, replicate=2)
+    pg.write.parquet(src)
+
+    schema = ("url string, warc_ts timestamp, text string, lang string, "
+              "doc_id long, rep int, lat double, lon double")
+    result = streaming_tile_counts(spark, src, schema, precision=2,
+                                   window="24 hours", watermark="48 hours")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    run_available_now(result, ckpt, out)
+
+    # append mode holds back windows newer than the final watermark; a
+    # barrier batch with a far-future timestamp finalizes them on re-run
+    barrier = pg.limit(1).withColumn(
+        "warc_ts", F.to_timestamp(F.lit("2030-01-01 00:00:00")))
+    barrier.write.mode("append").parquet(src)
+    result2 = streaming_tile_counts(spark, src, schema, precision=2,
+                                    window="24 hours", watermark="48 hours")
+    run_available_now(result2, ckpt, out)
+
+    got = spark.read.parquet(out).filter(
+        F.col("window_start") < F.lit("2029-01-01"))
+    # streaming totals equal the batch aggregation
+    from geohash_dotnet_spark.functions import with_geohash
+    batch = (with_geohash(pg, "lat", "lon", 2)
+             .groupBy(F.window("warc_ts", "24 hours").alias("win"),
+                      F.col("gh"))
+             .count())
+    assert got.agg(F.sum("n_pages")).collect()[0][0] == pg.count()
+    assert got.count() == batch.count()
