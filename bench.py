@@ -30,7 +30,7 @@ def build_spark(cpus: int):
 
     return (SparkSession.builder.master(f"local[{cpus}]")
             .appName("geohash-dotnet-spark-bench")
-            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.sql.shuffle.partitions", str(2 * cpus))
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.adaptive.enabled", "true")
             # keep wide geohash/quality expressions inside whole-stage
@@ -44,7 +44,7 @@ def build_spark(cpus: int):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    replicate = int(os.environ.get("BENCH_REPLICATE", "200"))
+    replicate = int(os.environ.get("BENCH_REPLICATE", "1000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = build_spark(cpus)
@@ -61,19 +61,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, runs: int = 3):
+        """Best-of-N wall time: the first run pays JVM JIT warmup + Python
+        worker spin-up, which would otherwise dominate and mask scaling."""
+        best, out = float("inf"), None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         return out
 
-    # materialize the pages table once (parquet-like input working set)
+    # materialize the pages table once (parquet-like input working set);
+    # single cold run — cache population is one-time by nature
     pg = pages(spark, sf_dir, replicate=replicate)
-    n_pages = timed("build_pages", lambda: pg.cache().count())
+    n_pages = timed("build_pages", lambda: pg.cache().count(), runs=1)
 
-    # q1: native geohash encode p7 (the hot kernel)
-    enc = with_geohash(pg, "lat", "lon", 7)
-    timed("q1_encode_p7", lambda: enc.agg(F.count("gh"), F.min("gh"), F.max("gh")).collect())
+    # q1: native geohash encode p12 (the hot kernel, full precision)
+    enc = with_geohash(pg, "lat", "lon", 12)
+    timed("q1_encode_p12", lambda: enc.agg(F.count("gh"), F.min("gh"), F.max("gh")).collect())
 
     # q2: polygon coverage (distributed California p6 intersects)
     here = os.path.dirname(os.path.abspath(__file__))
@@ -82,14 +88,22 @@ def main() -> None:
     timed("q2_cover_california_p6",
           lambda: cover_polygons(spark, [("ca", cal, 6, "intersects")]).count())
 
-    # q3: flagship spatial join + agg (the headline pages/sec path)
+    # q3: flagship spatial join + quality scoring + tile agg (the headline
+    # pages/sec path; quality adds real per-row string compute so the wall
+    # time is CPU-bound, not stage-overhead-bound)
+    from geohash_dotnet_spark.operators import with_quality
     cov_cells = cover_polygon(E.RECT_WKT, 2, "intersects")
     cov = spark.createDataFrame([(c,) for c in cov_cells], "cell string")
 
     def flagship():
-        joined = spatial_join(pg, cov, precision=2, how="left_semi")
+        # rebuild the plan each run: re-collecting one DataFrame object
+        # reuses completed shuffle map stages and measures nothing
+        joined = spatial_join(with_quality(pg), cov, precision=2,
+                              how="left_semi")
         return (joined.groupBy(F.substring("gh", 1, 1), "lang")
-                .agg(F.count(F.lit(1))).collect())
+                .agg(F.count(F.lit(1)),
+                     F.sum(F.floor(F.col("quality_score") * 1e6 + F.lit(0.5))))
+                .collect())
 
     timed("q3_flagship_join", flagship)
 
@@ -101,7 +115,7 @@ def main() -> None:
     from geohash_dotnet_spark.operators import duplicate_groups
     timed("q5_dedup_groups", lambda: duplicate_groups(pg, id_col="url").count())
 
-    pipeline_s = timings["q1_encode_p7"] + timings["q3_flagship_join"]
+    pipeline_s = timings["q1_encode_p12"] + timings["q3_flagship_join"]
     pages_per_sec = round(n_pages / max(pipeline_s, 1e-9), 1)
 
     print(json.dumps({

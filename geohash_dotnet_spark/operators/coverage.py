@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..kernels import circle as CK
 from ..kernels import polygon as PK
 
-TASK_TARGET_CELLS = 2_000_000
+TASK_TARGET_CELLS = 250_000
 
 
 def plan_polygon_tasks(polygons: list[tuple[str, str, int, str]]) -> list[dict]:

@@ -33,7 +33,12 @@ def pages(spark: SparkSession, sf_dir: str, replicate: int = 1,
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replicate > 1:
-        docs = docs.withColumn(
+        # documents is a single small file -> one input partition; spread it
+        # across the cluster BEFORE the fan-out so the replicated table (and
+        # everything downstream) is parallel. Repartitioning 5k doc rows is
+        # cheap; repartitioning the exploded table would not be.
+        n_part = max(spark.sparkContext.defaultParallelism, 8)
+        docs = docs.repartition(n_part).withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
     else:
         docs = docs.withColumn("rep", F.lit(0))

@@ -35,7 +35,7 @@ def run_bench(cpus: int, sf_dir: str, replicate: int) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     r8 = run_bench(8, sf_dir, replicate)
     r32 = run_bench(32, sf_dir, replicate)
     eff = (r32["value"] / r8["value"]) / 4.0
