@@ -39,7 +39,9 @@ def test_tile_stats_partial_final_agg(spark, sf_small):
     plan = _executed(tile_stats(pages(spark, sf_small), precision=3))
     # partial_count before the exchange, final after: two HashAggregates
     assert plan.count("HashAggregate") >= 2
-    assert "Exchange hashpartitioning(tile" in plan
+    # shuffle keyed by the tile (Catalyst may collapse the alias back to gh)
+    assert ("Exchange hashpartitioning(tile" in plan
+            or "Exchange hashpartitioning(gh" in plan)
 
 
 def test_parquet_filter_pushdown(spark, sf_med):
@@ -62,4 +64,5 @@ def test_native_paths_no_python_nodes(spark, sf_small):
 def test_whole_stage_codegen_covers_encode(spark, sf_small):
     pg = with_geohash(pages(spark, sf_small), "lat", "lon", 7)
     plan = _executed(pg.select("gh"))
-    assert "WholeStageCodegen" in plan
+    # toString renders whole-stage-codegen stages as "*(n) Op"
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
