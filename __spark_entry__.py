@@ -21,12 +21,31 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from geohash_dotnet_spark.functions import with_geohash  # noqa: E402
-from geohash_dotnet_spark.functions.native import haversine_m  # noqa: E402
-from geohash_dotnet_spark.functions.oracle import pages_sql, pages_tagged_sql  # noqa: E402
+from geohash_dotnet_spark.functions.native import (  # noqa: E402
+    gh_children,
+    gh_is_valid,
+    haversine_m,
+)
+from geohash_dotnet_spark.functions.oracle import (  # noqa: E402
+    BASE32,
+    center_lat_sql,
+    center_lng_sql,
+    decoded_select_sql,
+    haversine_sql,
+    pages_sql,
+    pages_tagged_sql,
+    tagged_select_sql,
+)
+from geohash_dotnet_spark.functions.udfs import (  # noqa: E402
+    gh_bbox,
+    gh_decode,
+    gh_neighbors,
+)
 from geohash_dotnet_spark.kernels import compress as kcompress  # noqa: E402
 from geohash_dotnet_spark.kernels import cover_circle, cover_polygon  # noqa: E402
 from geohash_dotnet_spark.operators import (  # noqa: E402
     compress_cells,
+    cover_polygons,
     cosine_topk,
     duplicate_groups,
     extract_features,
@@ -97,6 +116,91 @@ def q_tile_rollup(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_pages"),
                  F.countDistinct(F.substring("gh", 1, 4)).alias("n_tiles_p4"))
             .orderBy("tile1"))
+
+
+DIRECTIONS = ("n", "ne", "e", "se", "s", "sw", "w", "nw")
+DIR_OFFSETS = {"n": (1, 0), "ne": (1, 1), "e": (0, 1), "se": (-1, 1),
+               "s": (-1, 0), "sw": (-1, -1), "w": (0, -1), "nw": (1, -1)}
+
+
+def _cells(spark, sf_dir, precision):
+    """Distinct geohash cells of the pages table at a precision —
+    deterministic input for the cell-algebra queries."""
+    return (with_geohash(_pages(spark, sf_dir), "lat", "lon", precision)
+            .select("gh").distinct())
+
+
+def q_gh_decode(spark, sf_dir):
+    """gh_decode: exact cell centers of every distinct p5 cell."""
+    c = _cells(spark, sf_dir, 5).withColumn("d", gh_decode(F.col("gh")))
+    return (c.select("gh", F.col("d.lat").alias("lat_c"),
+                     F.col("d.lon").alias("lon_c"))
+            .orderBy("gh"))
+
+
+def q_gh_bbox(spark, sf_dir):
+    """gh_bbox: exact dyadic cell bounds of every distinct p4 cell."""
+    c = _cells(spark, sf_dir, 4).withColumn("b", gh_bbox(F.col("gh")))
+    return (c.select("gh", "b.min_lat", "b.min_lng", "b.max_lat", "b.max_lng")
+            .orderBy("gh"))
+
+
+def q_gh_neighbors(spark, sf_dir):
+    """All 8 neighbors of every distinct p3 cell (pole bounce +
+    antimeridian wrap semantics)."""
+    dirs = F.array(*[F.lit(d) for d in DIRECTIONS])
+    c = _cells(spark, sf_dir, 3)
+    out = c.select(F.col("gh").alias("src"),
+                   F.posexplode(gh_neighbors(F.col("gh"))).alias("pos", "neighbor"))
+    return (out.select("src", F.element_at(dirs, F.col("pos") + 1).alias("dir"),
+                       "neighbor")
+            .orderBy("src", "dir"))
+
+
+def q_gh_children(spark, sf_dir):
+    """All 32 children of every distinct p2 cell, base-32 order."""
+    c = _cells(spark, sf_dir, 2)
+    return (c.select(F.col("gh").alias("parent"),
+                     F.explode(gh_children(F.col("gh"))).alias("child"))
+            .orderBy("parent", "child"))
+
+
+def q_gh_validity(spark, sf_dir):
+    """IsValid over valid cells + case-folded / bad-char / too-long mutants."""
+    c = _cells(spark, sf_dir, 3)
+    cand = (c.select(F.col("gh").alias("candidate"))
+            .union(c.select(F.upper("gh")))
+            .union(c.select(F.concat("gh", F.lit("a"))))
+            .union(c.select(F.concat(*([F.col("gh")] * 5)))))
+    return (cand.select("candidate",
+                        gh_is_valid(F.col("candidate")).alias("valid"))
+            .orderBy("candidate", "valid"))
+
+
+def q_gh_distance_cells(spark, sf_dir):
+    """Hash-to-hash haversine distance (cell centers) over d* x s* p2 cells."""
+    c = _cells(spark, sf_dir, 2)
+    a = (c.filter(F.col("gh").startswith("d"))
+         .select(F.col("gh").alias("gh_a"),
+                 gh_decode(F.col("gh")).alias("da")))
+    b = (c.filter(F.col("gh").startswith("s"))
+         .select(F.col("gh").alias("gh_b"),
+                 gh_decode(F.col("gh")).alias("db")))
+    return (a.crossJoin(b)
+            .select("gh_a", "gh_b",
+                    fp6(haversine_m(F.col("da.lat"), F.col("da.lon"),
+                                    F.col("db.lat"), F.col("db.lon")))
+                    .alias("dist_m"))
+            .orderBy("gh_a", "gh_b"))
+
+
+def q_cover_california(spark, sf_dir):
+    """Distributed polygon coverage vs the reference's own golden set
+    (tests/PolygonHasherTests.cs:20-47 — 22,754 p5 Contains cells)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    wkt = open(os.path.join(here, "tests/golden/california_p5_contains.wkt")).read()
+    return (cover_polygons(spark, [("ca", wkt, 5, "contains")])
+            .select("cell").orderBy("cell"))
 
 
 def q_spatial_join_rect(spark, sf_dir):
@@ -283,6 +387,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gh_encode_p5": q_encode_p5,
+        "gh_decode": q_gh_decode,
+        "gh_bbox": q_gh_bbox,
+        "gh_neighbors": q_gh_neighbors,
+        "gh_children": q_gh_children,
+        "gh_validity": q_gh_validity,
+        "gh_distance_cells": q_gh_distance_cells,
+        "cover_california": q_cover_california,
         "tile_counts_p2": q_tile_counts_p2,
         "tile_rollup": q_tile_rollup,
         "spatial_join_rect": q_spatial_join_rect,
@@ -332,9 +443,64 @@ def oracle_sql() -> dict[str, str]:
     hav_c = hav.replace("q.qlat", repr(CIRCLE["lat"])).replace(
         "q.qlon", repr(CIRCLE["lon"]))
 
+    def distinct_cells_sql(precision: int) -> str:
+        return (f"SELECT DISTINCT gh FROM ({pages_tagged_sql(precision, REP)})")
+
+    dec5 = decoded_select_sql(distinct_cells_sql(5), 5)
+    dec4 = decoded_select_sql(distinct_cells_sql(4), 4)
+    dec3 = decoded_select_sql(distinct_cells_sql(3), 3)
+    offs = ", ".join(f"('{d}', {dla}, {dlo})"
+                     for d, (dla, dlo) in sorted(DIR_OFFSETS.items()))
+    nb_pts = (
+        f"SELECT gh AS src, dir, "
+        f"{center_lat_sql()} + CAST(dlat AS DOUBLE) * (__max_lat - __min_lat) AS lat, "
+        f"{center_lng_sql()} + CAST(dlng AS DOUBLE) * (__max_lng - __min_lng) AS lon "
+        f"FROM ({dec3}) CROSS JOIN (VALUES {offs}) o(dir, dlat, dlng)")
+    b32_vals = ", ".join(f"('{ch}')" for ch in BASE32)
+    dec2d = decoded_select_sql(
+        f"SELECT gh FROM ({distinct_cells_sql(2)}) WHERE gh LIKE 'd%'", 2)
+    dec2s = decoded_select_sql(
+        f"SELECT gh FROM ({distinct_cells_sql(2)}) WHERE gh LIKE 's%'", 2)
+    here2 = os.path.dirname(os.path.abspath(__file__))
+    cal_golden = open(os.path.join(
+        here2, "tests/golden/california_p5_contains.txt")).read().split()
+    cal_values = ", ".join(f"('{c}')" for c in cal_golden)
+
     return {
         "gh_encode_p5":
             f"SELECT url, lat, lon, gh FROM ({pages_tagged_sql(5, REP)})",
+        "gh_decode":
+            f"SELECT gh, {center_lat_sql()} AS lat_c, {center_lng_sql()} AS lon_c "
+            f"FROM ({dec5}) ORDER BY gh",
+        "gh_bbox":
+            f"SELECT gh, __min_lat AS min_lat, __min_lng AS min_lng, "
+            f"__max_lat AS max_lat, __max_lng AS max_lng "
+            f"FROM ({dec4}) ORDER BY gh",
+        "gh_neighbors":
+            tagged_select_sql(nb_pts, 3, keep="src, dir", out="neighbor")
+            + " ORDER BY src, dir",
+        "gh_children":
+            f"SELECT gh AS parent, gh || c AS child "
+            f"FROM ({distinct_cells_sql(2)}) CROSS JOIN (VALUES {b32_vals}) t(c) "
+            f"ORDER BY parent, child",
+        "gh_validity":
+            f"WITH cells AS ({distinct_cells_sql(3)}), "
+            f"cand AS (SELECT gh AS candidate FROM cells "
+            f"UNION ALL SELECT upper(gh) FROM cells "
+            f"UNION ALL SELECT gh || 'a' FROM cells "
+            f"UNION ALL SELECT repeat(gh, 5) FROM cells) "
+            f"SELECT candidate, regexp_matches(candidate, "
+            f"'^[0-9bcdefghjkmnpqrstuvwxyzBCDEFGHJKMNPQRSTUVWXYZ]{{1,12}}$') "
+            f"AS valid FROM cand ORDER BY candidate, valid",
+        "gh_distance_cells":
+            f"SELECT a.gh_a, b.gh_b, {fp6_sql(haversine_sql('a.alat', 'a.alon', 'b.blat', 'b.blon'))} AS dist_m "
+            f"FROM (SELECT gh AS gh_a, {center_lat_sql()} AS alat, "
+            f"{center_lng_sql()} AS alon FROM ({dec2d})) a "
+            f"CROSS JOIN (SELECT gh AS gh_b, {center_lat_sql()} AS blat, "
+            f"{center_lng_sql()} AS blon FROM ({dec2s})) b "
+            f"ORDER BY gh_a, gh_b",
+        "cover_california":
+            f"SELECT cell FROM (VALUES {cal_values}) t(cell) ORDER BY cell",
         "tile_counts_p2":
             f"SELECT gh AS tile, count(*) AS n_pages, "
             f"count(DISTINCT url) AS n_urls FROM ({tagged2}) GROUP BY gh",

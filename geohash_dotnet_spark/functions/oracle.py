@@ -85,6 +85,66 @@ def tagged_select_sql(inner_sql: str, precision: int, lat: str = "lat",
             f"FROM ({idx})")
 
 
+def decoded_select_sql(inner_sql: str, precision: int, gh_col: str = "gh",
+                       keep: str = "gh") -> str:
+    """SELECT wrapping ``inner_sql`` that adds the exact cell bounds
+    ``__min_lat/__min_lng/__max_lat/__max_lng`` decoded from a geohash
+    string column of fixed length ``precision``.
+
+    Twin of kernels.geohash.bounding_box: the same integer de-interleave
+    and the same double arithmetic (boundaries are exact dyadic doubles),
+    so values are bit-identical to the Spark/pandas-UDF side.
+    """
+    total = 5 * precision
+    n_lat_bits = total // 2
+    n_lng_bits = (total + 1) // 2
+    lat_step = 180.0 / (1 << n_lat_bits)
+    lng_step = 360.0 / (1 << n_lng_bits)
+    # stage 1: per-char base-32 digit values
+    vals = ", ".join(
+        f"(strpos('{BASE32}', substr({gh_col}, {c + 1}, 1)) - 1) AS __v{c}"
+        for c in range(precision))
+    s1 = f"SELECT {keep}, {vals} FROM ({inner_sql})"
+    # stage 2: de-interleave (inverse of gh_char_sql bit layout)
+    lat_terms, lng_terms = [], []
+    for c in range(precision):
+        for k in range(5):
+            j = 5 * c + k
+            bit = f"((__v{c} >> {4 - k}) & 1)"
+            if j % 2 == 0:
+                lng_terms.append(f"{bit} * {1 << (n_lng_bits - 1 - j // 2)}")
+            else:
+                lat_terms.append(f"{bit} * {1 << (n_lat_bits - 1 - (j - 1) // 2)}")
+    s2 = (f"SELECT {keep}, ({' + '.join(lat_terms)}) AS __lat_i, "
+          f"({' + '.join(lng_terms)}) AS __lng_i FROM ({s1})")
+    # stage 3: exact dyadic bounds (same formulas as the kernel)
+    return (f"SELECT {keep}, "
+            f"(-90.0 + CAST(__lat_i AS DOUBLE) * {lat_step!r}) AS __min_lat, "
+            f"(-180.0 + CAST(__lng_i AS DOUBLE) * {lng_step!r}) AS __min_lng, "
+            f"(-90.0 + CAST(__lat_i AS DOUBLE) * {lat_step!r}) + {lat_step!r} "
+            f"AS __max_lat, "
+            f"(-180.0 + CAST(__lng_i AS DOUBLE) * {lng_step!r}) + {lng_step!r} "
+            f"AS __max_lng FROM ({s2})")
+
+
+def center_lat_sql() -> str:
+    """Cell-center latitude from decoded bounds ((min+max)*0.5, the exact
+    kernel formula)."""
+    return "((__min_lat + __max_lat) * 0.5)"
+
+
+def center_lng_sql() -> str:
+    return "((__min_lng + __max_lng) * 0.5)"
+
+
+def haversine_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    """Great-circle meters — twin of functions.native.haversine_m."""
+    return (f"2.0 * 6371008.8 * asin(least(1.0, sqrt("
+            f"sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2) "
+            f"+ cos(radians({lat1})) * cos(radians({lat2})) "
+            f"* sin(radians({lng2} - {lng1}) / 2) * sin(radians({lng2} - {lng1}) / 2))))")
+
+
 def pages_sql(replicate: int = 1) -> str:
     """The deterministic Common-Crawl-style pages table derived from the
     ``documents`` view — DuckDB twin of sources/pages.py.
