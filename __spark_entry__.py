@@ -45,6 +45,7 @@ from geohash_dotnet_spark.kernels import compress as kcompress  # noqa: E402
 from geohash_dotnet_spark.kernels import cover_circle, cover_polygon  # noqa: E402
 from geohash_dotnet_spark.operators import (  # noqa: E402
     compress_cells,
+    cover_circles,
     cover_polygons,
     cosine_topk,
     duplicate_groups,
@@ -54,6 +55,7 @@ from geohash_dotnet_spark.operators import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+    salted_join,
     spatial_join,
     synthetic_media,
     tile_stats,
@@ -201,6 +203,30 @@ def q_cover_california(spark, sf_dir):
     wkt = open(os.path.join(here, "tests/golden/california_p5_contains.wkt")).read()
     return (cover_polygons(spark, [("ca", wkt, 5, "contains")])
             .select("cell").orderBy("cell"))
+
+
+CIRCLES = [("berlin", 52.52, 13.405, 100_000.0),
+           ("fiji", -17.7, 179.9, 300_000.0),     # antimeridian-crossing
+           ("nyc", 40.7128, -74.0060, 250_000.0),
+           ("sydney", -33.87, 151.21, 50_000.0)]
+
+
+def q_cover_circles(spark, sf_dir):
+    """Distributed circle coverage (auto precision, intersects) over a
+    circles table — mapInPandas twin of the driver-side kernel."""
+    df = spark.createDataFrame(
+        CIRCLES, "circle_id string, lat double, lon double, radius_m double")
+    return cover_circles(spark, df).orderBy("circle_id", "cell")
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-resistant salted join — row counts provably identical to the
+    plain broadcast covering join (hot-cell mitigation at scale)."""
+    cov_cells = cover_polygon(RECT_WKT, 2, "intersects")
+    cov = spark.createDataFrame([(c,) for c in cov_cells], "cell string")
+    joined = salted_join(_pages(spark, sf_dir), cov, precision=2, salt=8)
+    return (joined.groupBy("gh").agg(F.count(F.lit(1)).alias("n_pages"))
+            .select(F.col("gh").alias("cell"), "n_pages"))
 
 
 def q_spatial_join_rect(spark, sf_dir):
@@ -394,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_validity": q_gh_validity,
         "gh_distance_cells": q_gh_distance_cells,
         "cover_california": q_cover_california,
+        "cover_circles_table": q_cover_circles,
+        "salted_join": q_salted_join,
         "tile_counts_p2": q_tile_counts_p2,
         "tile_rollup": q_tile_rollup,
         "spatial_join_rect": q_spatial_join_rect,
@@ -501,6 +529,15 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY gh_a, gh_b",
         "cover_california":
             f"SELECT cell FROM (VALUES {cal_values}) t(cell) ORDER BY cell",
+        "cover_circles_table":
+            "SELECT circle_id, cell FROM (VALUES "
+            + ", ".join(f"('{cid}', '{cell}')" for cid, la, lo, r in CIRCLES
+                        for cell in sorted(cover_circle(la, lo, r, None,
+                                                        "intersects").tolist()))
+            + ") t(circle_id, cell) ORDER BY circle_id, cell",
+        "salted_join":
+            f"SELECT gh AS cell, count(*) AS n_pages FROM ({tagged2}) "
+            f"WHERE gh IN ({rect_cells}) GROUP BY gh",
         "tile_counts_p2":
             f"SELECT gh AS tile, count(*) AS n_pages, "
             f"count(DISTINCT url) AS n_urls FROM ({tagged2}) GROUP BY gh",
