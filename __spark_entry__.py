@@ -211,6 +211,20 @@ CIRCLES = [("berlin", 52.52, 13.405, 100_000.0),
            ("sydney", -33.87, 151.21, 50_000.0)]
 
 
+def q_geofence_ring(spark, sf_dir):
+    """Geofence recipe from the reference README (README.md:76-86):
+    boundary cells = intersects covering EXCEPT contains covering; pages
+    landing in boundary cells are the ones needing the exact refine."""
+    inter = spark.createDataFrame(
+        [(c,) for c in cover_polygon(RECT_WKT, 3, "intersects")], "cell string")
+    cont = spark.createDataFrame(
+        [(c,) for c in cover_polygon(RECT_WKT, 3, "contains")], "cell string")
+    edge = inter.exceptAll(cont)
+    joined = spatial_join(_pages(spark, sf_dir), edge, precision=3)
+    return (joined.groupBy("gh").agg(F.count(F.lit(1)).alias("n_pages"))
+            .select(F.col("gh").alias("cell"), "n_pages").orderBy("cell"))
+
+
 def q_cover_circles(spark, sf_dir):
     """Distributed circle coverage (auto precision, intersects) over a
     circles table — mapInPandas twin of the driver-side kernel."""
@@ -360,10 +374,12 @@ def q_multimodal_features(spark, sf_dir):
 def q_flagship(spark, sf_dir):
     """Flagship: geocode -> gh p3 -> rect covering join -> quality ->
     per-(tile1, lang) page counts + avg quality."""
-    pg = with_quality(_pages(spark, sf_dir))
     cov_cells = cover_polygon(RECT_WKT, 2, "intersects")
     cov = spark.createDataFrame([(c,) for c in cov_cells], "cell string")
-    joined = spatial_join(pg, cov, precision=2, how="left_semi")
+    # join first: the cheap cell-index semi-join prunes pages before the
+    # expensive per-row quality scoring (predicate-ordering at scale)
+    joined = with_quality(
+        spatial_join(_pages(spark, sf_dir), cov, precision=2, how="left_semi"))
     # fixed-point integer sum -> order-insensitive, bit-identical average
     # across engines (quality_score is already rounded to 6 dp)
     q_int = F.floor(F.col("quality_score") * 1e6 + F.lit(0.5)).cast("long")
@@ -421,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_distance_cells": q_gh_distance_cells,
         "cover_california": q_cover_california,
         "cover_circles_table": q_cover_circles,
+        "geofence_ring": q_geofence_ring,
         "salted_join": q_salted_join,
         "tile_counts_p2": q_tile_counts_p2,
         "tile_rollup": q_tile_rollup,
@@ -538,6 +555,13 @@ def oracle_sql() -> dict[str, str]:
         "salted_join":
             f"SELECT gh AS cell, count(*) AS n_pages FROM ({tagged2}) "
             f"WHERE gh IN ({rect_cells}) GROUP BY gh",
+        "geofence_ring": (lambda edge3: (
+            f"SELECT gh AS cell, count(*) AS n_pages "
+            f"FROM ({pages_tagged_sql(3, REP)}) "
+            f"WHERE gh IN ({edge3}) GROUP BY gh ORDER BY cell"))(
+            _cells_in_list(
+                sorted(set(cover_polygon(RECT_WKT, 3, "intersects").tolist())
+                       - set(cover_polygon(RECT_WKT, 3, "contains").tolist())))),
         "tile_counts_p2":
             f"SELECT gh AS tile, count(*) AS n_pages, "
             f"count(DISTINCT url) AS n_urls FROM ({tagged2}) GROUP BY gh",

@@ -45,6 +45,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("BENCH_REPLICATE", "1000"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = build_spark(cpus)
@@ -61,9 +62,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn, runs: int = 3):
+    def timed(name, fn, runs: int = runs):
         """Best-of-N wall time: the first run pays JVM JIT warmup + Python
-        worker spin-up, which would otherwise dominate and mask scaling."""
+        worker spin-up, which would otherwise dominate and mask scaling
+        (and best-of damps CPU-steal noise on virtualized hosts)."""
         best, out = float("inf"), None
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -97,9 +99,11 @@ def main() -> None:
 
     def flagship():
         # rebuild the plan each run: re-collecting one DataFrame object
-        # reuses completed shuffle map stages and measures nothing
-        joined = spatial_join(with_quality(pg), cov, precision=2,
-                              how="left_semi")
+        # reuses completed shuffle map stages and measures nothing.
+        # join-before-quality: the cell-index semi-join prunes pages ahead
+        # of the expensive per-row scoring (same result, less compute)
+        joined = with_quality(spatial_join(pg, cov, precision=2,
+                                           how="left_semi"))
         return (joined.groupBy(F.substring("gh", 1, 1), "lang")
                 .agg(F.count(F.lit(1)),
                      F.sum(F.floor(F.col("quality_score") * 1e6 + F.lit(0.5))))
