@@ -10,6 +10,7 @@ the golden-tested NumPy kernels (tests/test_functions_spark.py).
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -43,6 +44,7 @@ from geohash_dotnet_spark.functions.udfs import (  # noqa: E402
 )
 from geohash_dotnet_spark.kernels import compress as kcompress  # noqa: E402
 from geohash_dotnet_spark.kernels import cover_circle, cover_polygon  # noqa: E402
+from geohash_dotnet_spark.kernels.geohash import lat_lng_steps  # noqa: E402
 from geohash_dotnet_spark.operators import (  # noqa: E402
     compress_cells,
     cover_circles,
@@ -55,6 +57,8 @@ from geohash_dotnet_spark.operators import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+    gh_grid,
+    pick_grid_precision,
     salted_join,
     spatial_join,
     synthetic_media,
@@ -209,6 +213,21 @@ CIRCLES = [("berlin", 52.52, 13.405, 100_000.0),
            ("fiji", -17.7, 179.9, 300_000.0),     # antimeridian-crossing
            ("nyc", 40.7128, -74.0060, 250_000.0),
            ("sydney", -33.87, 151.21, 50_000.0)]
+
+
+VIEWPORT = dict(s=-25.0, w=160.0, n=10.0, e=200.0)  # spans the antimeridian
+VIEWPORT_MAX_CELLS = 3000
+
+
+def q_gh_grid(spark, sf_dir):
+    """Viewport grid enumeration (playground parity) at the finest
+    precision fitting the cell budget; viewport crosses the antimeridian
+    (unnormalized longitudes, encode normalizes)."""
+    v = VIEWPORT
+    p = pick_grid_precision(v["s"], v["w"], v["n"], v["e"], VIEWPORT_MAX_CELLS)
+    return (gh_grid(spark, v["s"], v["w"], v["n"], v["e"], p,
+                    VIEWPORT_MAX_CELLS)
+            .orderBy("min_lat", "min_lng"))
 
 
 def q_geofence_ring(spark, sf_dir):
@@ -438,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_california": q_cover_california,
         "cover_circles_table": q_cover_circles,
         "geofence_ring": q_geofence_ring,
+        "gh_grid_viewport": q_gh_grid,
         "salted_join": q_salted_join,
         "tile_counts_p2": q_tile_counts_p2,
         "tile_rollup": q_tile_rollup,
@@ -506,6 +526,36 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT gh FROM ({distinct_cells_sql(2)}) WHERE gh LIKE 'd%'", 2)
     dec2s = decoded_select_sql(
         f"SELECT gh FROM ({distinct_cells_sql(2)}) WHERE gh LIKE 's%'", 2)
+    # viewport grid oracle: same index math as operators/grid.py, centers
+    # as exact dyadic doubles, encode via the SQL twin
+    v = VIEWPORT
+    p_grid = pick_grid_precision(v["s"], v["w"], v["n"], v["e"],
+                                 VIEWPORT_MAX_CELLS)
+    lat_step, lng_step = lat_lng_steps(p_grid)
+    lat_start = math.floor(max(v["s"], -90.0) / lat_step)
+    lat_end = math.ceil(min(v["n"], 90.0) / lat_step)
+    lng_start = math.floor(v["w"] / lng_step)
+    lng_end = math.ceil(v["e"] / lng_step)
+    la_s = f"CAST({lat_step!r} AS DOUBLE)"
+    lo_s = f"CAST({lng_step!r} AS DOUBLE)"
+    grid_inner = (
+        f"SELECT min_lat, min_lng, max_lat, max_lng, "
+        f"min_lat + CAST({lat_step * 0.5!r} AS DOUBLE) AS lat, "
+        f"min_lng + CAST({lng_step * 0.5!r} AS DOUBLE) AS lon FROM ("
+        f"SELECT li, gi, li * {la_s} AS min_lat, "
+        f"li * {la_s} + {la_s} AS max_lat, "
+        f"gi * {lo_s} AS min_lng, "
+        f"gi * {lo_s} + {lo_s} AS max_lng "
+        f"FROM (SELECT unnest(range({lat_start}, {lat_end})) AS li) "
+        f"CROSS JOIN (SELECT unnest(range({lng_start}, {lng_end})) AS gi) "
+        f"WHERE li * {la_s} + {la_s} > -90.0 "
+        f"AND li * {la_s} < 90.0 "
+        f"ORDER BY li, gi LIMIT {VIEWPORT_MAX_CELLS})")
+    grid_sql = tagged_select_sql(
+        grid_inner, p_grid,
+        keep="min_lat, min_lng, max_lat, max_lng",
+        out="cell") + " ORDER BY min_lat, min_lng"
+
     here2 = os.path.dirname(os.path.abspath(__file__))
     cal_golden = open(os.path.join(
         here2, "tests/golden/california_p5_contains.txt")).read().split()
@@ -524,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "gh_neighbors":
             tagged_select_sql(nb_pts, 3, keep="src, dir", out="neighbor")
             + " ORDER BY src, dir",
+        "gh_grid_viewport": grid_sql,
         "gh_children":
             f"SELECT gh AS parent, gh || c AS child "
             f"FROM ({distinct_cells_sql(2)}) CROSS JOIN (VALUES {b32_vals}) t(c) "

@@ -9,6 +9,7 @@ from .spatial_join import (  # noqa: F401
     tag_pages,
     tile_stats,
 )
+from .grid import gh_grid, pick_grid_precision  # noqa: F401
 from .knn import knn_join  # noqa: F401
 from .dedup import (  # noqa: F401
     duplicate_groups,
