@@ -20,7 +20,13 @@ from .dedup import (  # noqa: F401
     simhash_bits,
     simhash_near_pairs,
 )
-from .similarity import cosine_topk, lsh_cosine_topk, with_cosine  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    lsh_cosine_topk,
+    signature_col,
+    signature_col_vec,
+    with_cosine,
+)
 from .text import (  # noqa: F401
     with_fingerprint,
     with_quality,

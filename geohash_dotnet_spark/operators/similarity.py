@@ -81,6 +81,32 @@ def signature_col(vec_col: str, dim: int, n_planes: int = 16):
     return sig
 
 
+def signature_col_vec(vec_col: str, dim: int, n_planes: int = 16):
+    """Arrow-vectorized twin of ``signature_col``: one (batch x dim) @
+    (dim x planes) matmul per Arrow batch instead of ``n_planes`` array
+    traversals per row. Same hyperplanes, bit-identical signatures
+    (verified in tests) — the preferred form when ``n_planes`` is large
+    or the embedding table is the 100TB side."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = _hyperplanes(dim, n_planes).T  # (dim, n_planes)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        # sequential accumulation over dim — the same left-to-right IEEE
+        # addition order as the JVM aggregate(), so signs (and therefore
+        # signatures) are bit-identical, unlike a BLAS matmul whose
+        # pairwise summation can flip near-zero dots
+        acc = np.zeros((m.shape[0], planes_t.shape[1]))
+        for j in range(planes_t.shape[0]):
+            acc += m[:, j, None] * planes_t[j][None, :]
+        return pd.Series(((acc > 0) @ weights).astype(np.int64))
+
+    return _sig(vec_col)
+
+
 def lsh_cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
                     dim: int = 64, n_planes: int = 12, probe_bits: int = 1,
                     vec_col: str = "embedding", id_col: str = "vec_id",

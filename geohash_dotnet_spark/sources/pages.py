@@ -36,8 +36,10 @@ def pages(spark: SparkSession, sf_dir: str, replicate: int = 1,
         # documents is a single small file -> one input partition; spread it
         # across the cluster BEFORE the fan-out so the replicated table (and
         # everything downstream) is parallel. Repartitioning 5k doc rows is
-        # cheap; repartitioning the exploded table would not be.
-        n_part = max(spark.sparkContext.defaultParallelism, 8)
+        # cheap; repartitioning the exploded table would not be. 4 waves of
+        # tasks per core: a single straggler then costs ~1/4 of a wave, not
+        # a whole one (long tails dominate single-wave schedules).
+        n_part = max(4 * spark.sparkContext.defaultParallelism, 8)
         docs = docs.repartition(n_part).withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
     else:

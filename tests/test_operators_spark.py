@@ -262,3 +262,15 @@ def test_multimodal_plumbing(spark, sf_small):
     bad = extract_features(media, decoder="real")
     with _pytest.raises(Exception):
         bad.collect()
+
+
+def test_srp_signature_vectorized_twin(spark, sf_med):
+    """signature_col_vec (Arrow matmul path) must produce bit-identical
+    signatures to the native per-plane expression."""
+    from geohash_dotnet_spark.operators import signature_col, signature_col_vec
+
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet").limit(500)
+    both = (emb.withColumn("s_native", signature_col("embedding", 64, 12))
+            .withColumn("s_vec", signature_col_vec("embedding", 64, 12)))
+    diff = both.filter(F.col("s_native") != F.col("s_vec")).count()
+    assert diff == 0
