@@ -14,6 +14,11 @@ host property, not an engine property — the benched pipeline has no
 shuffle of the big side (broadcast covering join + partial aggregations),
 so its cross-executor coordination cost is constant in cluster size.
 
+Each level is measured SCALING_TRIALS times (default 2) in interleaved
+order (2,8,32,2,8,32,...) and the best throughput per level is kept —
+the test host is a shared VM with bursty CPU steal, and interleaving
+decorrelates a steal window from any one level.
+
 Usage: python scaling.py [sf_dir] [replicate] [levels-comma-separated]
 """
 
@@ -49,7 +54,13 @@ def main() -> None:
     levels = [int(x) for x in (sys.argv[3] if len(sys.argv) > 3
                                else "2,8,32").split(",")]
 
-    results = {c: run_bench(c, sf_dir, replicate) for c in levels}
+    trials = int(os.environ.get("SCALING_TRIALS", "2"))
+    results: dict[int, dict] = {}
+    for _ in range(trials):
+        for c in levels:
+            r = run_bench(c, sf_dir, replicate)
+            if c not in results or r["value"] > results[c]["value"]:
+                results[c] = r
     pairs = [(n, 4 * n) for n in levels if 4 * n in results]
     effs = {f"{n}->{m}": round((results[m]["value"] / results[n]["value"]) / 4, 3)
             for n, m in pairs}
@@ -66,7 +77,8 @@ def main() -> None:
 Same job, same input ({sf_dir}, replicate={replicate},
 n_pages={n_pages:,}), each parallelism level in its own JVM — the sandbox
 evidence for the north rule's "N vs 4N executors, scaling efficiency
->= 0.8" criterion (BASELINE.md).
+>= 0.8" criterion (BASELINE.md). Each level ran {trials}x interleaved;
+best per level kept (shared-VM CPU-steal damping).
 
 | parallelism | pages/sec (encode+join pipeline) | per-query seconds |
 |---|---|---|
