@@ -3,13 +3,14 @@
 from .coverage import cover_circles, cover_polygons, plan_polygon_tasks  # noqa: F401
 from .compress import compress_cells  # noqa: F401
 from .spatial_join import (  # noqa: F401
+    auto_salted_join,
     salted_join,
     spatial_join,
     spatial_join_refined,
     tag_pages,
     tile_stats,
 )
-from .grid import gh_grid, pick_grid_precision  # noqa: F401
+from .grid import cells_to_wkt, gh_grid, pick_grid_precision  # noqa: F401
 from .knn import knn_join  # noqa: F401
 from .dedup import (  # noqa: F401
     duplicate_groups,

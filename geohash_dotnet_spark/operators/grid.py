@@ -45,6 +45,29 @@ def pick_grid_precision(s: float, w: float, n: float, e: float,
     return best
 
 
+def cells_to_wkt(df: DataFrame, cell_col: str = "cell",
+                 out: str = "wkt") -> DataFrame:
+    """raster -> vector: each geohash cell to its bounding-box polygon WKT
+    (CCW exterior ring, lon-lat order). The inverse direction of
+    cover_polygons (vector -> raster); together they round-trip a tiling:
+    cover(cells_to_wkt(c), len(c), intersects) ∋ c (tested).
+    """
+    from ..functions.udfs import gh_bbox
+
+    b = gh_bbox(F.col(cell_col))
+    df = df.withColumn("__b", b)
+    p = {k: F.col(f"__b.{k}").cast("string")
+         for k in ("min_lat", "min_lng", "max_lat", "max_lng")}
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        p["min_lng"], F.lit(" "), p["min_lat"], F.lit(", "),
+        p["max_lng"], F.lit(" "), p["min_lat"], F.lit(", "),
+        p["max_lng"], F.lit(" "), p["max_lat"], F.lit(", "),
+        p["min_lng"], F.lit(" "), p["max_lat"], F.lit(", "),
+        p["min_lng"], F.lit(" "), p["min_lat"], F.lit("))"))
+    return df.withColumn(out, wkt).drop("__b")
+
+
 def gh_grid(spark: SparkSession, s: float, w: float, n: float, e: float,
             precision: int, max_cells: int = 50_000) -> DataFrame:
     """Grid cells covering the viewport -> DataFrame(cell, min_lat,

@@ -85,6 +85,37 @@ def salted_join(pages_df: DataFrame, coverage_df: DataFrame, precision: int,
     return out.drop("__salt")
 
 
+def auto_salted_join(pages_df: DataFrame, coverage_df: DataFrame,
+                     precision: int, hot_factor: float = 4.0,
+                     salt: int = 16, gh_col: str = "gh") -> DataFrame:
+    """Adaptive skew handling for the *shuffle* join regime (coverage too
+    large to broadcast): a cheap count pre-pass finds hot cells (page
+    count > hot_factor x mean), which join salted; the cold remainder
+    joins un-salted. Row counts are identical to the plain join.
+
+    This is the SURVEY §4.3 pre-pass + selective-salting design: salting
+    everything multiplies the coverage x``salt`` for no benefit on the
+    long tail; salting nothing leaves one reducer owning a dense urban
+    tile at 100TB scale.
+    """
+    tagged = pages_df if gh_col in pages_df.columns else \
+        tag_pages(pages_df, precision, out=gh_col)
+    cov = coverage_df.withColumnRenamed("cell", gh_col) \
+        if "cell" in coverage_df.columns else coverage_df
+
+    counts = tagged.groupBy(gh_col).agg(F.count(F.lit(1)).alias("__n"))
+    mean = counts.agg(F.avg("__n")).collect()[0][0] or 0.0
+    hot = counts.filter(F.col("__n") > hot_factor * mean).select(gh_col)
+
+    hot_cov = cov.join(F.broadcast(hot), on=gh_col, how="left_semi")
+    cold_cov = cov.join(F.broadcast(hot), on=gh_col, how="left_anti")
+
+    cold_out = tagged.join(cold_cov, on=gh_col, how="inner")
+    hot_out = salted_join(tagged, hot_cov.withColumnRenamed(gh_col, "cell"),
+                          precision, salt=salt, gh_col=gh_col)
+    return cold_out.unionByName(hot_out)
+
+
 def tile_stats(pages_df: DataFrame, precision: int, prefix_len: int | None = None,
                gh_col: str = "gh") -> DataFrame:
     """Per-tile page counts (partial+final hash agg, shuffle only on the

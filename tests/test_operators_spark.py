@@ -274,3 +274,37 @@ def test_srp_signature_vectorized_twin(spark, sf_med):
             .withColumn("s_vec", signature_col_vec("embedding", 64, 12)))
     diff = both.filter(F.col("s_native") != F.col("s_vec")).count()
     assert diff == 0
+
+
+def test_auto_salted_join_row_invariance(spark, sf_small):
+    """Adaptive salting (hot-cell pre-pass) must return exactly the rows
+    of the plain join — skew handling cannot change results."""
+    from geohash_dotnet_spark.operators import auto_salted_join, spatial_join
+
+    pg = pages(spark, sf_small, replicate=4)
+    cells = cover_polygon(
+        "POLYGON((-85 -60, 85 -60, 85 60, -85 60, -85 -60))", 2, "intersects")
+    cov = spark.createDataFrame([(c,) for c in cells], "cell string")
+
+    plain = spatial_join(pg, cov, precision=2).select("url", "gh")
+    # low hot_factor forces a real hot/cold split of the coverage
+    adaptive = auto_salted_join(pg, cov, precision=2, hot_factor=1.0,
+                                salt=4).select("url", "gh")
+    assert plain.count() == adaptive.count()
+    assert plain.exceptAll(adaptive).count() == 0
+    assert adaptive.exceptAll(plain).count() == 0
+
+
+def test_cells_to_wkt_roundtrip(spark):
+    """raster->vector->raster: covering a cell's own WKT box at the same
+    precision with 'intersects' must include the cell (and its box
+    corners land exactly on the grid)."""
+    from geohash_dotnet_spark.operators import cells_to_wkt
+
+    cells = ["u33", "dr5", "9q8", "s00", "zzz"]
+    df = spark.createDataFrame([(c,) for c in cells], "cell string")
+    rows = cells_to_wkt(df).collect()
+    for r in rows:
+        covered = set(cover_polygon(r["wkt"], 3, "contains"))
+        assert r["cell"] in covered
+        assert len(covered) == 1  # the box IS exactly one p3 cell
