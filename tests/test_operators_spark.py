@@ -308,3 +308,26 @@ def test_cells_to_wkt_roundtrip(spark):
         covered = set(cover_polygon(r["wkt"], 3, "contains"))
         assert r["cell"] in covered
         assert len(covered) == 1  # the box IS exactly one p3 cell
+
+
+def test_text_byte_identical_through_spatial_path(spark, sf_small):
+    """North-rule per-row invariant: the spatial path must never rewrite
+    ``text`` — every joined row's text is byte-identical to its source
+    document's text (projection-only carry-through)."""
+    from geohash_dotnet_spark.operators import spatial_join, with_quality
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet") \
+        .select("doc_id", F.col("text").alias("src_text"))
+    pg = pages(spark, sf_small, replicate=3)
+    cells = cover_polygon(
+        "POLYGON((-85 -60, 85 -60, 85 60, -85 60, -85 -60))", 2, "intersects")
+    cov = spark.createDataFrame([(c,) for c in cells], "cell string")
+    out = with_quality(spatial_join(pg, cov, precision=2, how="left_semi"))
+
+    cmp = out.join(docs, on="doc_id")
+    n = cmp.count()
+    assert n > 0
+    # binary-level equality, not just string display equality
+    same = cmp.filter(
+        F.md5(F.encode("text", "utf-8")) == F.md5(F.encode("src_text", "utf-8")))
+    assert same.count() == n
