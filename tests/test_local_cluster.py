@@ -3,54 +3,63 @@
 serialization, broadcast distribution, and pandas-UDF issues that
 ``local[*]`` (single JVM) can hide. The sandbox stand-in for
 ``spark-submit --py-files`` on a real multi-executor cluster.
+
+Runs in a subprocess: ``getOrCreate`` inside the pytest process would
+silently reuse (and on teardown stop) the session-scoped local[8] session
+shared by every other test.
 """
 
-import pytest
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPT = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-
-@pytest.fixture(scope="module")
-def cluster_spark():
-    import os
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    s = (SparkSession.builder.master("local-cluster[2,2,2048]")
+spark = (SparkSession.builder.master("local-cluster[2,2,2048]")
          .appName("geohash-dotnet-spark-cluster-smoke")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.executor.memory", "1500m")
          # the sandbox analogue of spark-submit --py-files: executor
-         # Python workers run in separate processes and must import the
-         # package themselves (the single-JVM local[*] mode hides this)
-         .config("spark.executorEnv.PYTHONPATH", repo)
+         # Python workers are separate processes and must import the
+         # package themselves (single-JVM local[*] hides this)
+         .config("spark.executorEnv.PYTHONPATH", {repo!r})
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
-    s.sparkContext.setLogLevel("ERROR")
-    yield s
-    s.stop()
+spark.sparkContext.setLogLevel("ERROR")
+assert spark.sparkContext.master.startswith("local-cluster"), spark.sparkContext.master
+
+import __spark_entry__ as E
+out = E.entry(spark)
+rows = out.collect()
+assert len(rows) > 0
+assert out.columns == ["tile1", "lang", "n_pages", "avg_quality"]
+assert sum(r["n_pages"] for r in rows) > 0
+
+from geohash_dotnet_spark.functions.udfs import gh_decode
+from geohash_dotnet_spark.operators import cover_polygons
+cov = cover_polygons(
+    spark, [("box", "POLYGON((10 50, 15 50, 15 53, 10 53, 10 50))", 4,
+             "intersects")])
+assert cov.count() > 0
+dec = cov.withColumn("d", gh_decode(F.col("cell")))
+r = dec.agg(F.min("d.lat"), F.max("d.lat")).collect()[0]
+assert 49.0 < r[0] < 54.0 and 49.0 < r[1] < 54.0
+spark.stop()
+print("CLUSTER_SMOKE_OK")
+"""
 
 
-def test_flagship_on_two_executors(cluster_spark):
-    import __spark_entry__ as E
-
-    out = E.entry(cluster_spark)
-    rows = out.collect()
-    assert len(rows) > 0
-    assert out.columns == ["tile1", "lang", "n_pages", "avg_quality"]
-    assert sum(r["n_pages"] for r in rows) > 0
-
-
-def test_pandas_udf_and_coverage_across_executors(cluster_spark):
-    from geohash_dotnet_spark.functions.udfs import gh_decode
-    from geohash_dotnet_spark.operators import cover_polygons
-
-    cov = cover_polygons(
-        cluster_spark,
-        [("box", "POLYGON((10 50, 15 50, 15 53, 10 53, 10 50))", 4,
-          "intersects")])
-    n = cov.count()
-    assert n > 0
-    # Arrow UDF round-trip on executor Python workers
-    dec = cov.withColumn("d", gh_decode(F.col("cell")))
-    r = dec.agg(F.min("d.lat"), F.max("d.lat")).collect()[0]
-    assert 49.0 < r[0] < 54.0 and 49.0 < r[1] < 54.0
+def test_flagship_and_udfs_on_two_executors():
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT.format(repo=REPO)],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, PYTHONPATH=REPO))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "CLUSTER_SMOKE_OK" in proc.stdout
