@@ -113,8 +113,12 @@ def lsh_cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
                     q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:
     """Approximate top-k: bucket join on the SRP signature with multi-probe
     (flip up to ``probe_bits`` bits of the query signature), exact cosine
-    rerank inside the candidate set."""
-    tagged = emb_df.withColumn("sig", signature_col(vec_col, dim, n_planes))
+    rerank inside the candidate set.
+
+    The big (embeddings) side uses the Arrow-vectorized signature; the
+    small query side the native expression — bit-identical by
+    construction (tests/test_operators_spark.py), so buckets agree."""
+    tagged = emb_df.withColumn("sig", signature_col_vec(vec_col, dim, n_planes))
     q = queries_df.withColumn("sig0", signature_col(q_vec, dim, n_planes))
     # multi-probe: query matches its own bucket + all 1-bit-flip buckets
     probes = [F.col("sig0")]
