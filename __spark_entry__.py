@@ -32,6 +32,8 @@ from geohash_dotnet_spark.functions.oracle import (  # noqa: E402
     center_lat_sql,
     center_lng_sql,
     decoded_select_sql,
+    geocode_lat_sql,
+    geocode_lon_sql,
     haversine_sql,
     pages_sql,
     pages_tagged_sql,
@@ -409,6 +411,27 @@ def q_flagship(spark, sf_dir):
             .orderBy("tile1", "lang"))
 
 
+def q_events_windowed_tiles(spark, sf_dir):
+    """Spatio-temporal rollup over the events stream (batch twin of
+    streaming/tiles.py): deterministic geocode by user_id -> gh p2 ->
+    tumbling 1-hour event-time windows -> per (window, tile, type) counts,
+    exact fixed-point value sums, and JSON-extracted props."""
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("__uid", F.col("user_id").cast("string")))
+    ev = geocode_from_url(ev, url="__uid")
+    ev = with_geohash(ev, "lat", "lon", 2)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.groupBy(F.window("ts", "1 hour")["start"].alias("window_start"),
+                       F.col("gh").alias("tile"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"))
+                  / F.lit(1e6)).alias("sum_value"),
+                 F.sum(k).alias("sum_k"))
+            .orderBy("window_start", "tile", "event_type"))
+
+
 # TPC-H-style relational sanity (scan/filter/agg/join/window/limit)
 def q_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -475,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "multimodal_features": q_multimodal_features,
+        "events_windowed_tiles": q_events_windowed_tiles,
         "flagship": q_flagship,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -650,6 +674,19 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({pages_sql(REP)}) GROUP BY 1 HAVING count(*) > 1 "
             f"ORDER BY fingerprint",
         "ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
+        "events_windowed_tiles": (lambda inner: (
+            f"SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+            f"gh AS tile, event_type, count(*) AS n_events, "
+            f"sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) "
+            f"/ CAST(1000000.0 AS DOUBLE) AS sum_value, "
+            f"CAST(sum(k) AS BIGINT) AS sum_k "
+            f"FROM ({tagged_select_sql(inner, 2, keep='ts, event_type, value, k')}) "
+            f"GROUP BY 1, 2, 3 ORDER BY window_start, tile, event_type"))(
+            f"SELECT ts, event_type, value, "
+            f"CAST(props->>'k' AS INT) AS k, "
+            f"{geocode_lat_sql('CAST(user_id AS VARCHAR)')} AS lat, "
+            f"{geocode_lon_sql('CAST(user_id AS VARCHAR)')} AS lon "
+            f"FROM events"),
         "token_stats":
             f"SELECT doc_id, n_tokens, n_chars_text, avg_token_len "
             f"FROM ({token_stats_sql()}) ORDER BY doc_id",
