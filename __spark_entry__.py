@@ -451,6 +451,22 @@ def q_pricing_summary(spark, sf_dir):
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+def q_regional_suppliers(spark, sf_dir):
+    """Star-schema sanity: two broadcast dim joins (region -> nation ->
+    supplier) + per-region rollup."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    j = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 fp6((F.sum(F.floor(F.col("s_acctbal") * 1e6 + F.lit(0.5))
+                            .cast("long")) / F.count(F.lit(1)) / F.lit(1e6))
+                     .cast("double")).alias("avg_acctbal"))
+            .orderBy("r_name"))
+
+
 def q_top_customers(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -501,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_tiles": q_events_windowed_tiles,
         "flagship": q_flagship,
         "pricing_summary": q_pricing_summary,
+        "regional_suppliers": q_regional_suppliers,
         "top_customers": q_top_customers,
     }
 
@@ -711,6 +728,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus",
+        "regional_suppliers":
+            "SELECT r_name, count(*) AS n_suppliers, "
+            f"{fp6_sql('CAST(sum(CAST(floor(s_acctbal * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0')} "
+            "AS avg_acctbal "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name",
         "top_customers":
             "SELECT c_custkey, c_name, "
             "sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 "
