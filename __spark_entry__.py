@@ -68,8 +68,15 @@ from geohash_dotnet_spark.operators import (  # noqa: E402
     with_quality,
     with_token_stats,
 )
-from geohash_dotnet_spark.operators.dedup import ngram_jaccard_sql  # noqa: E402
-from geohash_dotnet_spark.operators.similarity import cosine_topk_sql  # noqa: E402
+from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_sql,
+    ngram_jaccard_sql,
+    simhash_sql,
+)
+from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
+    cosine_topk_sql,
+    lsh_cosine_topk_sql,
+)
 from geohash_dotnet_spark.operators.text import (  # noqa: E402
     fp6,
     fp6_sql,
@@ -337,14 +344,19 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup pairs (verified by exact Jaccard). Non-SQL."""
+    """MinHash-LSH near-dup pairs, candidate-restricted exact verify.
+
+    Oracle = the full relational Jaccard at the same threshold, so every
+    driver run asserts 100% LSH recall on the corpus."""
     return (minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
-            .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b"))
+            .orderBy("id_a", "id_b"))
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 12). Non-SQL."""
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12) \
+    """SimHash near-dup pairs (hamming <= 3, exact-recall chunk
+    bucketing); oracle recomputes the md5-derived 60-bit simhashes and
+    does brute-force all-pairs hamming in DuckDB."""
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3) \
         .orderBy("id_a", "id_b")
 
 
@@ -373,7 +385,8 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_lsh_cosine_topk(spark, sf_dir):
-    """LSH-bucketed approximate cosine top-k (scale path). Non-SQL."""
+    """LSH-bucketed approximate cosine top-k (scale path). Oracle replays
+    the seed-fixed hyperplane buckets + multiprobe + rerank in DuckDB."""
     emb = _emb(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("q_id"),
@@ -418,6 +431,11 @@ def q_events_windowed_tiles(spark, sf_dir):
     exact fixed-point value sums, and JSON-extracted props."""
     from geohash_dotnet_spark.functions.native import geocode_from_url
 
+    # F.window aligns in spark.sql.session.timeZone while the DuckDB
+    # twin's time_bucket is tz-naive; pin UTC so the two agree in any
+    # environment (a fractional-offset session tz would silently shift
+    # the window starts).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
           .withColumn("__uid", F.col("user_id").cast("string")))
     ev = geocode_from_url(ev, url="__uid")
@@ -691,6 +709,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({pages_sql(REP)}) GROUP BY 1 HAVING count(*) > 1 "
             f"ORDER BY fingerprint",
         "ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
+        "minhash_pairs": minhash_lsh_sql(threshold=0.5),
+        "simhash_pairs": simhash_sql(max_hamming=3),
         "events_windowed_tiles": (lambda inner: (
             f"SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
             f"gh AS tile, event_type, count(*) AS n_events, "
@@ -711,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, stopword_ratio, lang_pred, quality_score "
             f"FROM ({quality_sql()}) ORDER BY doc_id",
         "cosine_topk": cosine_topk_sql(10, [0, 1, 2, 3, 4]),
+        "lsh_cosine_topk": lsh_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "flagship":
             f"SELECT substr(gh, 1, 1) AS tile1, lang, count(*) AS n_pages, "
             f"{fp6_sql('CAST(sum(CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0')} AS avg_quality "

@@ -1,26 +1,40 @@
-"""Distributed covering-set compression (DataFrame algebra twin of
-kernels/compress.py; semantics of src/GeohashCompressor.cs:19-99).
+"""Distributed covering-set compression (semantics of
+/root/reference/src/GeohashCompressor.cs:19-99).
 
-Stages (all native DataFrame ops, no UDF):
-1. truncate to max_level (substring) + distinct;
-2. ancestor prune: explode each cell's proper prefixes, left-semi join
-   against the cell set, anti-join the covered descendants away;
-3. bottom-up 32-sibling merge: per level (longest first, <= 11 rounds),
-   parents with exactly 32 children absorb them — groupBy(parent) count,
-   cascade by unioning merged parents into the next level up.
+Single-job formulation. Geohash compression has a locality property: a
+merge of 32 siblings into a parent of length >= 2 never crosses a
+2-character-prefix boundary (all 32 children share their first two
+chars), and ancestor/descendant pruning for ancestors of length >= 2 is
+likewise prefix-2-local. So the whole cascade decomposes into:
 
-The per-level loop is bounded (max 11 rounds) and each round is a
-partial+final hash aggregation keyed by the parent prefix — scales to
-billion-cell coverings since a merge only ever co-locates one parent's
-32 children (never a whole covering on one node).
+1. truncate to max_level (substring) + distinct              [native]
+2. prune descendants of length-1/2 ancestors (the only cross-prefix
+   interaction) — two anti-joins against the tiny (<= 32 + 1024 cells
+   per group) short-ancestor sets                            [native]
+3. per-(group, 2-prefix) compression with the golden-tested NumPy/pure
+   kernel via applyInPandas — one shuffle, no iteration      [Arrow]
+4. if min_level == 1: one relational post-pass merging any 2-prefix
+   groups that fully collapsed (32 complete length-2 cells -> their
+   length-1 parent)                                          [native]
+
+One Spark job at action time — no per-level driver loop, no collect(),
+no cache() — so the operator composes inside larger pipelines. The
+kernel (kernels/compress.py) stays the independent oracle; equivalence
+is asserted in tests/test_operators_spark.py.
+
+Scale shape: the shuffle is keyed by (group, 2-prefix) — up to 1024
+prefix partitions per group; each task compresses one prefix's cells in
+memory (O(n log n)); a precision-p covering holds at most 32^(p-2)
+cells per 2-prefix, and real coverings are far sparser.
 """
 
 from __future__ import annotations
 
-from functools import reduce
-
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..kernels import compress as kcompress
 
 MAX_PRECISION = 12
 
@@ -44,36 +58,51 @@ def compress_cells(cells_df: DataFrame, min_level: int = 1,
              .filter(F.length("cell") >= 1)
              .distinct())
 
-    # 2. ancestor prune: drop any cell having a proper prefix in the set
-    prefixes = cells.select(
-        *g, "cell",
-        F.explode(F.expr(
-            "transform(sequence(1, length(cell) - 1), i -> substring(cell, 1, i))"
-        )).alias("pfx"))
-    ancestors = cells.select(*g, F.col("cell").alias("pfx"))
-    covered = (prefixes.join(ancestors, on=[*g, "pfx"], how="left_semi")
-               .select(*g, "cell").distinct())
-    pruned = (cells.join(covered, on=[*g, "cell"], how="left_anti")
-              .withColumn("len", F.length("cell")))
-    pruned = pruned.cache()
+    # 2. cross-prefix ancestor prune: a length-1/2 ancestor kills every
+    #    longer descendant (which lives in a different 2-prefix group).
+    #    Ancestors of length >= 2 are prefix-local -> handled by the kernel.
+    for alen in (1, 2):
+        anc = (cells.filter(F.length("cell") == alen)
+               .select(*[F.col(c).alias(f"__g_{c}") for c in g],
+                       F.col("cell").alias("__anc")))
+        cond = (F.substring(cells["cell"], 1, alen) == anc["__anc"]) \
+            & (F.length(cells["cell"]) > alen)
+        for c in g:
+            cond = cond & (cells[c] == anc[f"__g_{c}"])
+        cells = cells.join(anc, on=cond, how="left_anti")
 
-    # 3. level-wise 32-sibling cascade (longest level first)
-    max_depth = pruned.agg(F.max("len")).collect()[0][0] or 0
-    done: list[DataFrame] = []
-    current = pruned
-    for length in range(int(max_depth), min_level, -1):
-        level = (current.filter(F.col("len") == length)
-                 .withColumn("parent", F.substring("cell", 1, length - 1)))
-        parents = (level.groupBy(*g, "parent")
-                   .agg(F.count(F.lit(1)).alias("n"))
-                   .filter(F.col("n") == 32)
-                   .select(*g, "parent"))
-        kept = (level.join(parents, on=[*g, "parent"], how="left_anti")
-                .select(*g, "cell", "len"))
-        done.append(kept.select(*g, "cell"))
-        merged = (parents.select(*g, F.col("parent").alias("cell"))
-                  .withColumn("len", F.lit(length - 1)))
-        current = (current.filter(F.col("len") != length)
-                   .unionByName(merged))
-    done.append(current.select(*g, "cell"))
-    return reduce(lambda a, b: a.unionByName(b), done)
+    # 3. per-(group, 2-prefix) kernel compression; merges into parents of
+    #    length >= 2 all happen here (one applyInPandas shuffle)
+    eff_min = max(min_level, 2)
+    schema_fields = [f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in cells.schema.fields if f.name in g]
+    out_schema = ", ".join(schema_fields + ["cell string"])
+
+    def _compress_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = kcompress(pdf["cell"].tolist(), min_level=eff_min,
+                        max_level=max_level)
+        res = pd.DataFrame({"cell": out})
+        for c in g:
+            res[c] = pdf[c].iloc[0]
+        return res[[*g, "cell"]]
+
+    grouped = (cells.withColumn("__pfx", F.substring("cell", 1, 2))
+               .groupBy(*g, "__pfx")
+               .applyInPandas(_compress_group, out_schema))
+
+    if min_level > 1:
+        return grouped
+
+    # 4. cross-prefix cascade residue: 32 complete length-2 cells -> length-1
+    #    parent (the only merge the per-prefix kernel cannot see)
+    l2 = (grouped.filter(F.length("cell") == 2)
+          .withColumn("__parent", F.substring("cell", 1, 1)))
+    full = (l2.groupBy(*g, "__parent")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") == 32)
+            .select(*g, "__parent"))
+    keep = (grouped.withColumn("__parent", F.substring("cell", 1, 1))
+            .join(full, on=[*g, "__parent"], how="left_anti")
+            .select(*g, "cell"))
+    merged = full.select(*g, F.col("__parent").alias("cell"))
+    return keep.unionByName(merged)

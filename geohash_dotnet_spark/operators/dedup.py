@@ -3,35 +3,47 @@
 * exact_dedup        — hash-groupBy on a content fingerprint (native).
 * ngram_jaccard      — shingle self-join Jaccard near-dup pairs (native,
                        fully relational: shuffle on the shingle key only).
-* minhash_lsh        — MinHash signatures + banded LSH bucket join
-                       (Arrow pandas UDF for the signature, relational join
-                       for the banding; candidate pairs verified by true
-                       Jaccard).
-* simhash            — 64-bit SimHash + hamming-ball bucketing.
+* minhash_lsh        — MinHash signatures + banded LSH bucket join;
+                       candidate pairs (and ONLY candidate pairs) verified
+                       by exact Jaccard via two id-keyed joins back to the
+                       per-doc shingle arrays + native array_intersect —
+                       no all-pairs shingle self-join anywhere in the plan.
+* simhash            — 60-bit SimHash with pigeonhole chunk bucketing:
+                       (max_hamming+1) chunks guarantee that every pair
+                       within the radius shares at least one chunk, so
+                       recall is exact by construction.
 
-Hashing is md5-derived everywhere so results are engine-portable and
-deterministic across cluster sizes. Exact/jaccard have DuckDB oracle twins
-in __spark_entry__; minhash/simhash are verified by the true-Jaccard refine
-plus kernel tests (signature math is not reasonably SQL-expressible).
+Hashing is fully vectorized: shingles/tokens are hashed JVM-side
+(xxhash64 for MinHash; an md5-derived 60-bit hash for SimHash, chosen
+because DuckDB can reproduce it exactly for the oracle), and the Python
+side only ever sees arrays of int64 — one NumPy broadcast + reduceat per
+Arrow batch, no per-row or per-byte Python loops.
+
+Everything is deterministic across cluster sizes (fixed-seed permutation
+family, engine-portable hashes).
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fp6, with_fingerprint
+from .text import _tokens, fp6, with_fingerprint
 
-# 64 fixed odd multipliers/offsets for the MinHash permutation family
-# h_i(x) = (a_i * x + b_i) mod 2^61-1 — generated from a fixed seed.
-_MERSENNE = (1 << 61) - 1
+# 128 fixed odd multipliers/offsets for the MinHash permutation family
+# h_i(x) = (a_i * x + b_i) mod 2^64 (multiply-shift family; uint64 wrap)
+# — generated from a fixed seed, identical on every executor and run.
 _RNG = np.random.default_rng(20240101)
-_MINHASH_A = _RNG.integers(1, _MERSENNE, 128, dtype=np.int64) | 1
-_MINHASH_B = _RNG.integers(0, _MERSENNE, 128, dtype=np.int64)
+_MINHASH_A = _RNG.integers(1, 1 << 63, 128, dtype=np.uint64) | np.uint64(1)
+_MINHASH_B = _RNG.integers(0, 1 << 63, 128, dtype=np.uint64)
+
+# shingle-rows-per-chunk budget for the (shingles x permutations) product
+# matrix inside the signature UDF: 2^15 rows x 128 perms x 8 B = 32 MiB
+_SIG_CHUNK = 1 << 15
+
+SIMHASH_BITS = 60  # md5-derived token hashes carry 60 portable bits
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -125,56 +137,87 @@ WHERE floor(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
 """
 
 
-def _shingle_hash(arr: np.ndarray) -> np.ndarray:
-    """Stable 61-bit integer hash of shingle strings (FNV-1a, vectorized
-    enough: one pass per batch of strings)."""
-    out = np.empty(len(arr), dtype=np.uint64)
-    for i, s in enumerate(arr):
-        h = np.uint64(14695981039346656037)
-        for byt in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ byt) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return (out % np.uint64(_MERSENNE)).astype(np.int64)
+def _minhash_sig_udf(num_hashes: int):
+    """array<long> shingle-hashes -> array<long> MinHash signature.
+
+    Fully vectorized per Arrow batch: concatenate all docs' shingle hashes
+    into one flat uint64 vector, one broadcast multiply-add against the
+    (num_hashes,) permutation constants, segment-min via
+    np.minimum.reduceat — zero per-row Python, zero per-byte hashing
+    (the string hashing already happened JVM-side via xxhash64).
+    """
+    a = _MINHASH_A[:num_hashes].copy()
+    b = _MINHASH_B[:num_hashes].copy()
+
+    @F.pandas_udf("array<long>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        arrays = [np.asarray(x if x is not None else [], dtype=np.int64)
+                  for x in hs]
+        lens = np.fromiter((len(x) for x in arrays), dtype=np.int64, count=n)
+        # empty docs get the identity signature (all bits set -> -1 slots)
+        sigs = np.full((n, num_hashes), np.uint64(0xFFFFFFFFFFFFFFFF),
+                       dtype=np.uint64)
+        nonempty = np.nonzero(lens > 0)[0]
+        if len(nonempty):
+            flat = np.concatenate([arrays[i] for i in nonempty]).astype(np.uint64)
+            offsets = np.zeros(len(nonempty) + 1, dtype=np.int64)
+            np.cumsum(lens[nonempty], out=offsets[1:])
+            i = 0
+            while i < len(nonempty):
+                j = i + 1
+                while j < len(nonempty) and offsets[j + 1] - offsets[i] <= _SIG_CHUNK:
+                    j += 1
+                seg = flat[offsets[i]:offsets[j]]
+                prod = seg[:, None] * a[None, :] + b[None, :]  # uint64 wrap
+                local = (offsets[i:j] - offsets[i])
+                sigs[nonempty[i:j]] = np.minimum.reduceat(prod, local, axis=0)
+                i = j
+            del flat
+        out = sigs.astype(np.int64)
+        return pd.Series([row.tolist() for row in out])
+
+    return _sig
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text: str = "text", n: int = 3,
-                       num_hashes: int = 64) -> DataFrame:
-    """(id, sig array<long>) MinHash signatures via Arrow pandas UDF —
-    batch-vectorized over the (shingle x permutation) matrix."""
-    a = _MINHASH_A[:num_hashes]
-    b = _MINHASH_B[:num_hashes]
+                       num_hashes: int = 128) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures.
 
-    @F.pandas_udf("array<long>")
-    def _sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = str(t).lower().split()
-            shingles = list({" ".join(toks[i:i + n])
-                             for i in range(max(len(toks) - n + 1, 0))})
-            if not shingles:
-                out.append([int(_MERSENNE)] * len(a))
-                continue
-            hs = _shingle_hash(np.asarray(shingles, dtype=object)).astype(object)
-            # (S, H) permuted values mod mersenne prime (python ints: no overflow)
-            mins = [min((int(h) * int(ai) + int(bi)) % _MERSENNE for h in hs)
-                    for ai, bi in zip(a, b)]
-            out.append(mins)
-        return pd.Series(out)
-
-    return df.select(F.col(id_col).alias("id"), _sig(F.col(text)).alias("sig"))
+    Shingle hashing is JVM-native (xxhash64 inside a transform());
+    the Arrow UDF only does the (shingles x permutations) min-reduce.
+    """
+    hashed = F.transform(_shingles(F.col(text), n), lambda s: F.xxhash64(s))
+    return df.select(F.col(id_col).alias("id"),
+                     _minhash_sig_udf(num_hashes)(hashed).alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text: str = "text", n: int = 3, num_hashes: int = 64,
-                      bands: int = 16, threshold: float = 0.5) -> DataFrame:
-    """Banded-LSH candidate generation + exact Jaccard verification.
+                      text: str = "text", n: int = 3, num_hashes: int = 128,
+                      bands: int = 32, threshold: float = 0.5) -> DataFrame:
+    """Banded-LSH candidate generation + candidate-restricted exact verify.
 
     sig -> ``bands`` band-hashes -> explode -> self-join on (band, hash)
-    -> distinct candidate pairs -> verify with true n-gram Jaccard.
+    -> distinct candidate pairs -> join each side back to its per-doc
+    distinct-shingle array (two id-keyed joins) -> exact Jaccard via
+    native size(array_intersect(...)).
+
+    Scale shape: the only self-join is on the band hash (near-dup
+    candidates only); the verify step touches exactly the candidate rows.
+    With 32 bands x 4 rows the per-pair candidate probability is
+    1-(1-j^4)^32 — >0.9999 for j>=0.7, so at near-dup thresholds recall
+    is effectively exact (and the driver's oracle, the full relational
+    Jaccard at the same threshold, asserts it on every run).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text, n, num_hashes)
+    sh = df.select(F.col(id_col).alias("id"),
+                   _shingles(F.col(text), n).alias("sh"))
+    sigs = sh.select(
+        "id", _minhash_sig_udf(num_hashes)(
+            F.transform("sh", lambda s: F.xxhash64(s))).alias("sig"))
     banded = sigs.select(
         "id",
         F.posexplode(F.expr(
@@ -187,48 +230,143 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
-    exact = ngram_jaccard_pairs(df, id_col, text, n, threshold=0.0) \
-        .select("id_a", "id_b", "jaccard")
-    return (cand.join(exact, on=["id_a", "id_b"], how="inner")
-            .filter(F.col("jaccard") >= threshold))
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (cand.join(sh_a, on="id_a").join(sh_b, on="id_b")
+            .withColumn("jaccard",
+                        fp6((inter / union).cast("double")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_lsh_sql(inner: str = "documents", id_col: str = "doc_id",
+                    text: str = "text", n: int = 3,
+                    threshold: float = 0.5) -> str:
+    """Driver oracle for minhash_lsh_pairs: the exact relational Jaccard
+    pairs at the same threshold. Equality holds iff LSH recall is 100% on
+    the corpus — i.e. this oracle *checks the recall claim*, it does not
+    re-derive the LSH plumbing."""
+    return (f"SELECT id_a, id_b, jaccard FROM ("
+            f"{ngram_jaccard_sql(inner, id_col, text, n, threshold)}"
+            f") ORDER BY id_a, id_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def md5_60bit(col):
+    """Portable 60-bit token hash: first 15 hex chars of md5, as a long.
+
+    Reproducible bit-for-bit in DuckDB (md5_60bit_sql) — chosen over
+    xxhash64 so the SimHash oracle can be exact SQL.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_60bit_sql(expr: str) -> str:
+    """DuckDB twin of md5_60bit (hex digits -> shifted sum)."""
+    return ("CAST(list_sum(list_transform(range(1,16), i -> "
+            f"CAST(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 "
+            "AS BIGINT) << (4*(15-i)))) AS BIGINT)")
+
+
+def _simhash_udf():
+    """array<long> 60-bit token hashes -> long simhash (majority bit vote).
+
+    Vectorized per Arrow batch: flat (tokens x 60) bit matrix,
+    np.add.reduceat per-doc vote sums, pack bits where 2*votes > n.
+    """
+
+    @F.pandas_udf("long")
+    def _sim(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        if n == 0:
+            return pd.Series([], dtype=np.int64)
+        arrays = [np.asarray(x if x is not None else [], dtype=np.int64)
+                  for x in hs]
+        lens = np.fromiter((len(x) for x in arrays), dtype=np.int64, count=n)
+        out = np.zeros(n, dtype=np.int64)
+        nonempty = np.nonzero(lens > 0)[0]
+        if len(nonempty):
+            flat = np.concatenate([arrays[i] for i in nonempty]).astype(np.uint64)
+            offsets = np.zeros(len(nonempty) + 1, dtype=np.int64)
+            np.cumsum(lens[nonempty], out=offsets[1:])
+            shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+            weights = (np.uint64(1) << shifts).astype(np.int64)
+            i = 0
+            while i < len(nonempty):
+                j = i + 1
+                while j < len(nonempty) and offsets[j + 1] - offsets[i] <= _SIG_CHUNK:
+                    j += 1
+                seg = flat[offsets[i]:offsets[j]]
+                bits = ((seg[:, None] >> shifts[None, :])
+                        & np.uint64(1)).astype(np.int64)
+                local = (offsets[i:j] - offsets[i])
+                sums = np.add.reduceat(bits, local, axis=0)  # (docs, 60)
+                counts = lens[nonempty[i:j]][:, None]
+                out[nonempty[i:j]] = ((2 * sums > counts) * weights[None, :]) \
+                    .sum(axis=1)
+                i = j
+        return pd.Series(out)
+
+    return _sim
 
 
 def simhash_bits(df: DataFrame, id_col: str = "doc_id",
                  text: str = "text") -> DataFrame:
-    """64-bit SimHash per document (Arrow pandas UDF, token-hash bit votes)."""
+    """(id, simhash long) — 60-bit SimHash per document.
 
-    @F.pandas_udf("long")
-    def _sim(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = str(t).lower().split()
-            if not toks:
-                out[i] = 0
-                continue
-            hs = _shingle_hash(np.asarray(toks, dtype=object)).astype(np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            votes = bits.sum(axis=0) * 2 - len(hs)
-            word = np.uint64(0)
-            for bpos in np.nonzero(votes > 0)[0]:
-                word |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(word.astype(np.int64))
-        return pd.Series(out)
+    Token hashing is JVM-native (md5-derived, DuckDB-reproducible); the
+    Arrow UDF only does the bit-vote reduction.
+    """
+    hashed = F.transform(_tokens(F.col(text)), md5_60bit)
+    return df.select(F.col(id_col).alias("id"),
+                     _simhash_udf()(hashed).alias("simhash"))
 
-    return df.select(F.col(id_col).alias("id"), _sim(F.col(text)).alias("simhash"))
+
+def _chunk_layout(max_hamming: int, n_bits: int = SIMHASH_BITS):
+    """(start, width) per chunk: max_hamming+1 near-equal chunks — by the
+    pigeonhole principle any pair at hamming <= max_hamming agrees on at
+    least one whole chunk, so chunk-bucketing has exact recall."""
+    n_chunks = max_hamming + 1
+    if n_chunks > n_bits:
+        raise ValueError(f"max_hamming {max_hamming} needs more chunks than "
+                         f"{n_bits} fingerprint bits")
+    base, rem = divmod(n_bits, n_chunks)
+    layout, start = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        layout.append((start, w))
+        start += w
+    return layout
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text: str = "text", max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, bucketed by 16-bit
-    chunks (a pair within hamming<=3 shares at least one chunk; wider
-    distances verified after the 4-chunk block join)."""
+                       text: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, hamming) with hamming <= max_hamming.
+
+    Exact-recall bucketing: the 60-bit fingerprint is split into
+    (max_hamming+1) chunks; a pair within the radius must share at least
+    one chunk value, so the (chunk, value) equi-join generates a candidate
+    superset, then the native bit_count(xor) filter is exact.
+
+    Scale note: chunk width = 60/(max_hamming+1) bits. For small radii
+    (<= 5) chunks stay >= 10 bits and buckets stay selective; for wide
+    radii prefer a wider fingerprint or Manku-style multi-index tables —
+    this operator refuses nothing but the bucket join degrades gracefully
+    (every candidate is still exactly verified).
+    """
+    layout = _chunk_layout(max_hamming)
     sims = simhash_bits(df, id_col, text)
-    chunks = sims.select(
-        "id", "simhash",
-        F.posexplode(F.expr(
-            "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"
-        )).alias("chunk", "chunk_val"))
+    chunk_vals = F.array(*[
+        F.shiftright(F.col("simhash"), start)
+         .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+        for start, width in layout])
+    chunks = sims.select("id", "simhash",
+                         F.posexplode(chunk_vals).alias("chunk", "chunk_val"))
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (a.join(b, on=["chunk", "chunk_val"])
@@ -240,3 +378,31 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming"))
+
+
+def simhash_sql(inner: str = "documents", id_col: str = "doc_id",
+                text: str = "text", max_hamming: int = 3) -> str:
+    """DuckDB oracle twin of simhash_near_pairs: recompute every document's
+    60-bit SimHash from the same md5-derived token hashes, then exact
+    all-pairs hamming (fine at oracle scale)."""
+    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
+    h = md5_60bit_sql("tok")
+    return f"""
+WITH th AS (
+  SELECT {id_col} AS id, {h} AS h
+  FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {inner})
+), bits AS (
+  SELECT id, b,
+         CASE WHEN 2 * sum((h >> b) & 1) > count(*) THEN 1 ELSE 0 END AS bit
+  FROM th CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS b)
+  GROUP BY id, b
+), sims AS (
+  SELECT id, CAST(sum(CAST(bit AS BIGINT) << b) AS BIGINT) AS simhash
+  FROM bits GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""

@@ -11,16 +11,26 @@ A query is *settled* when it has >= k candidates whose k-th distance is
 within the covered radius (the covering guarantees no closer point exists
 outside it). Unsettled queries escalate to the next round.
 
-Queries are a small table (collected to the driver); the points table is
-only ever touched by broadcast semi-joins — no shuffle of the big side.
+Scale shape (single-scan formulation):
+* the points table is geohash-tagged ONCE at the finest (round-0)
+  precision; every coarser round derives its join key with a native
+  ``substring`` prefix — no per-round re-encode, no extra codegen stages;
+* each round is exactly one job over the points table: the broadcast
+  equi-join + window top-k collects at most k x |remaining queries| rows
+  (intrinsically tiny — that is the operator's output bound), and the
+  settle check runs driver-side on those same rows instead of issuing a
+  second aggregate job;
+* the final result is assembled from the settled rows, so triggering an
+  action on it does NOT replay earlier rounds (the round-1 formulation
+  lazily recomputed every round's scan at action time).
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from ..functions.native import haversine_m, with_geohash
 from ..kernels.circle import cover_circle
@@ -34,49 +44,58 @@ def knn_join(spark: SparkSession, points_df: DataFrame, queries: pd.DataFrame,
     """queries: pandas DataFrame (query_id, lat, lon). Returns a DataFrame
     (query_id, rank, dist_m, + point columns) with rank 1..k by distance."""
     remaining = queries.copy()
-    results: list[DataFrame] = []
+
+    # tag once at the finest precision any round will use; coarser rounds
+    # take substring prefixes of this single column
+    p_fine = precision or max(min(precision_for_radius(initial_radius_m), 9), 2)
+    tagged = points_df if gh_col in points_df.columns else \
+        with_geohash(points_df, lat, lon, p_fine, out=gh_col)
+
+    settled_rows: list = []
+    out_schema = None
 
     for r in range(max_rounds):
         radius = initial_radius_m * (2 ** r)
         p = precision or precision_for_radius(radius)
-        p = max(min(p, 9), 2)
+        p = max(min(p, p_fine), 2)
 
         cov_rows = []
         for q in remaining.itertuples(index=False):
             cells = cover_circle(float(q.lat), float(q.lon), radius, p, "intersects")
             cov_rows.append(pd.DataFrame({
                 "query_id": q.query_id, "q_lat": q.lat, "q_lon": q.lon,
-                gh_col: cells}))
+                "__ghr": cells}))
         cov = spark.createDataFrame(pd.concat(cov_rows, ignore_index=True))
 
-        tagged = points_df if gh_col in points_df.columns else \
-            with_geohash(points_df, lat, lon, p, out=gh_col)
-        cand = tagged.join(F.broadcast(cov), on=gh_col, how="inner")
-        cand = cand.withColumn(
-            "dist_m", haversine_m(F.col("q_lat"), F.col("q_lon"),
-                                  F.col(lat), F.col(lon)))
+        cand = (tagged.withColumn("__ghr", F.substring(gh_col, 1, p))
+                .join(F.broadcast(cov), on="__ghr", how="inner")
+                .withColumn("dist_m",
+                            haversine_m(F.col("q_lat"), F.col("q_lon"),
+                                        F.col(lat), F.col(lon))))
         w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc())
         topk = (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
+                .filter(F.col("rank") <= k)
+                .drop("q_lat", "q_lon", "__ghr"))
 
-        # settle check: k-th distance must be within the guaranteed radius
-        kth = (topk.groupBy("query_id")
-               .agg(F.count(F.lit(1)).alias("n"), F.max("dist_m").alias("kth"))
-               .collect())
-        settled_ids = {row["query_id"] for row in kth
-                       if row["n"] >= k and row["kth"] <= radius}
+        rows = topk.collect()  # <= k x |remaining| rows by construction
+        out_schema = topk.schema
+
+        # settle check on the already-collected rows (no second job):
+        # k-th distance must be within the guaranteed covered radius
+        by_q: dict = {}
+        for row in rows:
+            by_q.setdefault(row["query_id"], []).append(row)
+        settled_ids = {qid for qid, qrows in by_q.items()
+                       if len(qrows) >= k
+                       and max(x["dist_m"] for x in qrows) <= radius}
         if r == max_rounds - 1:
             settled_ids = set(remaining.query_id)
-        if settled_ids:
-            results.append(topk.filter(F.col("query_id").isin(list(settled_ids)))
-                           .drop("q_lat", "q_lon", gh_col))
+        for qid in settled_ids:
+            settled_rows.extend(by_q.get(qid, []))
         remaining = remaining[~remaining.query_id.isin(settled_ids)]
         if remaining.empty:
             break
 
-    if not results:
+    if not settled_rows:
         return spark.createDataFrame([], "query_id string, rank int, dist_m double")
-    out = results[0]
-    for other in results[1:]:
-        out = out.unionByName(other)
-    return out
+    return spark.createDataFrame(settled_rows, out_schema)

@@ -94,15 +94,26 @@ def signature_col_vec(vec_col: str, dim: int, n_planes: int = 16):
 
     @pandas_udf("long")
     def _sig(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
-        # sequential accumulation over dim — the same left-to-right IEEE
-        # addition order as the JVM aggregate(), so signs (and therefore
-        # signatures) are bit-identical, unlike a BLAS matmul whose
-        # pairwise summation can flip near-zero dots
-        acc = np.zeros((m.shape[0], planes_t.shape[1]))
-        for j in range(planes_t.shape[0]):
-            acc += m[:, j, None] * planes_t[j][None, :]
-        return pd.Series(((acc > 0) @ weights).astype(np.int64))
+        n = len(vecs)
+        if n == 0:  # empty Arrow batch
+            return pd.Series([], dtype=np.int64)
+        # null / ragged rows degrade to signature 0 — exactly what the
+        # native twin computes (null dot -> when() falls through to 0)
+        out = np.zeros(n, dtype=np.int64)
+        valid = [i for i, v in enumerate(vecs)
+                 if v is not None and len(v) == planes_t.shape[0]]
+        if valid:
+            m = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64)
+                          for i in valid])
+            # sequential accumulation over dim — the same left-to-right
+            # IEEE addition order as the JVM aggregate(), so signs (and
+            # therefore signatures) are bit-identical, unlike a BLAS
+            # matmul whose pairwise summation can flip near-zero dots
+            acc = np.zeros((m.shape[0], planes_t.shape[1]))
+            for j in range(planes_t.shape[0]):
+                acc += m[:, j, None] * planes_t[j][None, :]
+            out[valid] = ((acc > 0) @ weights).astype(np.int64)
+        return pd.Series(out)
 
     return _sig(vec_col)
 
@@ -134,6 +145,66 @@ def lsh_cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, "rank", id_col, "cosine"))
+
+
+def _cosine_fp6_sql(a: str, b: str) -> str:
+    """6-dp fixed-point cosine between two list columns (DuckDB)."""
+    return (f"floor(list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+            f"/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x))) "
+            f"* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x)))) "
+            f"* 1000000.0 + 0.5) / 1000000.0")
+
+
+def _signature_sql(vec: str, dim: int, n_planes: int) -> str:
+    """DuckDB twin of the SRP signature.
+
+    The dot products are emitted as explicit left-associative chains
+    (``v[1]*w1 + v[2]*w2 + ...``) so the IEEE addition order is identical
+    to the Spark side's sequential aggregate/NumPy accumulation — the
+    sign tests (and therefore the buckets) agree bit-for-bit.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    terms = []
+    for b in range(n_planes):
+        dot = " + ".join(f"CAST({vec}[{j + 1}] AS DOUBLE) * {planes[b][j]!r}"
+                         for j in range(dim))
+        terms.append(f"(CASE WHEN ({dot}) > 0 "
+                     f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_cosine_topk_sql(k: int, query_ids: list[int], dim: int = 64,
+                        n_planes: int = 12,
+                        inner: str = "embeddings") -> str:
+    """Full DuckDB oracle of lsh_cosine_topk: replays the seed-fixed
+    hyperplane signatures, the 1-bit multiprobe expansion, the bucket
+    equi-join, and the exact fp6-cosine rerank — every stage of the
+    approximate path, not just the end result."""
+    ids = ", ".join(str(i) for i in query_ids)
+    sig = _signature_sql("embedding", dim, n_planes)
+    cos = _cosine_fp6_sql("e.embedding", "qp.q_vec")
+    return f"""
+WITH q0 AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, {sig} AS sig0
+  FROM {inner} WHERE vec_id IN ({ids})
+), qp AS (
+  SELECT q_id, q_vec, sig0 AS sig FROM q0
+  UNION ALL
+  SELECT q_id, q_vec, xor(sig0, CAST(1 AS BIGINT) << b) AS sig
+  FROM q0 CROSS JOIN (SELECT unnest(range({n_planes})) AS b)
+), e AS (
+  SELECT vec_id, embedding, {sig} AS sig FROM {inner}
+), cand AS (
+  SELECT qp.q_id, e.vec_id, {cos} AS cosine
+  FROM e JOIN qp ON e.sig = qp.sig
+)
+SELECT q_id, rank, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
 
 
 def cosine_topk_sql(k: int, query_ids: list[int],

@@ -217,6 +217,86 @@ def test_simhash_pairs_run(spark, sf_med):
         assert r["hamming"] <= 16 and r["id_a"] < r["id_b"]
 
 
+def test_simhash_exact_recall_vs_brute_force(spark, sf_small):
+    """Pigeonhole chunking must have EXACT recall: the operator's pairs at
+    max_hamming=12 must equal NumPy brute-force all-pairs hamming over the
+    same simhash values (the round-1 4x16-bit chunking silently lost pairs
+    at hamming 4-12)."""
+    from geohash_dotnet_spark.operators import simhash_bits
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    sims = {r["id"]: r["simhash"] for r in simhash_bits(docs).collect()}
+    ids = sorted(sims)
+    vals = np.array([sims[i] for i in ids], dtype=np.uint64)
+    xo = vals[:, None] ^ vals[None, :]
+    ham = np.zeros_like(xo, dtype=np.int64)
+    for _ in range(64):
+        ham += (xo & np.uint64(1)).astype(np.int64)
+        xo >>= np.uint64(1)
+    want = {(ids[i], ids[j]) for i in range(len(ids)) for j in range(len(ids))
+            if ids[i] < ids[j] and ham[i, j] <= 12}
+    got = {(r.id_a, r.id_b)
+           for r in simhash_near_pairs(docs, max_hamming=12).collect()}
+    assert got == want
+
+
+def test_minhash_plan_has_no_shingle_self_join(spark, sf_med):
+    """The verify step must be candidate-restricted: no full shingle
+    self-join (the round-1 scale-killer) anywhere in the optimized plan."""
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+    plan = minhash_lsh_pairs(docs, threshold=0.5) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "shingle" not in plan.lower()
+
+
+def test_minhash_signature_matches_reference_math(spark):
+    """Vectorized signature == straightforward per-permutation Python min
+    over the same xxhash64 shingle hashes (bit-for-bit)."""
+    from geohash_dotnet_spark.operators import minhash_signatures
+    from geohash_dotnet_spark.operators.dedup import (
+        _MINHASH_A, _MINHASH_B, _shingles)
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "a b"),          # shorter than n=3 tokens -> empty signature
+         (4, "one two three")],
+        "doc_id long, text string")
+    sigs = {r["id"]: r["sig"]
+            for r in minhash_signatures(df, num_hashes=16).collect()}
+    hashes = {r["id"]: r["hs"] for r in df.select(
+        F.col("doc_id").alias("id"),
+        F.transform(_shingles(F.col("text"), 3),
+                    lambda s: F.xxhash64(s)).alias("hs")).collect()}
+    for doc_id, hs in hashes.items():
+        if not hs:
+            assert sigs[doc_id] == [-1] * 16
+            continue
+        for k in range(16):
+            want = min(((int(h) & 0xFFFFFFFFFFFFFFFF) * int(_MINHASH_A[k])
+                        + int(_MINHASH_B[k])) & 0xFFFFFFFFFFFFFFFF
+                       for h in hs)
+            got = sigs[doc_id][k] & 0xFFFFFFFFFFFFFFFF
+            assert got == want, (doc_id, k)
+
+
+def test_quality_no_lane_overflow(spark):
+    """Regression (round-1 ADVICE): >4095 stopword hits in one language
+    must not carry into the next lane, and huge token counts must not
+    overflow — 5000 'the' tokens is stopword_ratio 1.0, lang en."""
+    from geohash_dotnet_spark.operators import with_quality
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["the"] * 5000)),
+         (2, " ".join(["der"] * 40000)),
+         (3, "the " * 3 + "der " * 5000)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_quality(df).collect()}
+    assert out[1]["stopword_ratio"] == 1.0 and out[1]["lang_pred"] == "en"
+    assert out[2]["stopword_ratio"] == 1.0 and out[2]["lang_pred"] == "de"
+    assert out[3]["lang_pred"] == "de" and out[3]["quality_score"] == 1.0
+
+
 def test_cosine_topk_and_lsh(spark, sf_med):
     emb = spark.read.parquet(f"{sf_med}/embeddings.parquet").cache()
     queries = (emb.filter(F.col("vec_id") < 3)
