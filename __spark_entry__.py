@@ -42,6 +42,7 @@ from geohash_dotnet_spark.functions.oracle import (  # noqa: E402
 from geohash_dotnet_spark.functions.udfs import (  # noqa: E402
     gh_bbox,
     gh_decode,
+    gh_neighbor,
     gh_neighbors,
 )
 from geohash_dotnet_spark.kernels import compress as kcompress  # noqa: E402
@@ -73,6 +74,7 @@ from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_sql,
     simhash_sql,
 )
+from geohash_dotnet_spark.operators.multimodal import media_features_sql  # noqa: E402
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_topk_sql,
     lsh_cosine_topk_sql,
@@ -170,6 +172,15 @@ def q_gh_neighbors(spark, sf_dir):
     return (out.select("src", F.element_at(dirs, F.col("pos") + 1).alias("dir"),
                        "neighbor")
             .orderBy("src", "dir"))
+
+
+def q_gh_neighbor(spark, sf_dir):
+    """Single-direction neighbor (GetNeighbor, src/Geohasher.cs:151-155):
+    the north neighbor of every distinct p4 cell (pole bounce included)."""
+    c = _cells(spark, sf_dir, 4)
+    return (c.select(F.col("gh").alias("src"),
+                     gh_neighbor(F.col("gh"), "n").alias("neighbor"))
+            .orderBy("src"))
 
 
 def q_gh_children(spark, sf_dir):
@@ -396,13 +407,20 @@ def q_lsh_cosine_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-column feature extraction plumbing (deterministic fake
-    decoder; real codecs unavailable in this env). Non-SQL."""
-    media = synthetic_media(_pages(spark, sf_dir).limit(100))
-    out = extract_features(media, decoder="fake")
-    return out.select("url", "media_type", "width", "height",
-                      F.round(F.element_at("features", 1).cast("double"), 6)
-                      .alias("f0")).orderBy("url")
+    """Real binary-column decode: deterministic BMP/WAV payloads built
+    from the url hash, parsed back by the pure-NumPy container decoder
+    (header parse -> pixel/sample extract -> features). The oracle
+    recomputes the expected features in closed form from the same hash —
+    so a decoder that misparses the bytes fails the gate."""
+    from geohash_dotnet_spark.operators.dedup import md5_60bit
+
+    sel = (_pages(spark, sf_dir).select("url").distinct()
+           .filter(md5_60bit(F.col("url")) % 50 == 0))
+    out = extract_features(synthetic_media(sel), decoder="real")
+    return (out.select("url", "media_type", "width", "height",
+                       fp6(F.element_at("features", 1)).alias("f0"),
+                       fp6(F.element_at("features", 2)).alias("f1"))
+            .orderBy("url"))
 
 
 def q_flagship(spark, sf_dir):
@@ -508,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_decode": q_gh_decode,
         "gh_bbox": q_gh_bbox,
         "gh_neighbors": q_gh_neighbors,
+        "gh_neighbor": q_gh_neighbor,
         "gh_children": q_gh_children,
         "gh_validity": q_gh_validity,
         "gh_distance_cells": q_gh_distance_cells,
@@ -633,6 +652,12 @@ def oracle_sql() -> dict[str, str]:
         "gh_neighbors":
             tagged_select_sql(nb_pts, 3, keep="src, dir", out="neighbor")
             + " ORDER BY src, dir",
+        "gh_neighbor":
+            tagged_select_sql(
+                f"SELECT gh AS src, "
+                f"{center_lat_sql()} + (__max_lat - __min_lat) AS lat, "
+                f"{center_lng_sql()} AS lon FROM ({dec4})",
+                4, keep="src", out="neighbor") + " ORDER BY src",
         "gh_grid_viewport": grid_sql,
         "gh_children":
             f"SELECT gh AS parent, gh || c AS child "
@@ -711,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
         "minhash_pairs": minhash_lsh_sql(threshold=0.5),
         "simhash_pairs": simhash_sql(max_hamming=3),
+        "multimodal_features": media_features_sql(pages_sql(REP), 50),
         "events_windowed_tiles": (lambda inner: (
             f"SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
             f"gh AS tile, event_type, count(*) AS n_events, "

@@ -119,6 +119,42 @@ def main() -> None:
     from geohash_dotnet_spark.operators import duplicate_groups
     timed("q5_dedup_groups", lambda: duplicate_groups(pg, id_col="url").count())
 
+    # q6: tile stats p5 on a geohash-prefix-bucketed layout (SURVEY §4.3):
+    # same rollup as q4 but the exchange is gone — the one-time bucketed
+    # write cost (reported separately) amortizes over every later query
+    import shutil
+    import tempfile
+
+    from geohash_dotnet_spark.plans.bucketing import (
+        bucketed_tile_stats, persist_bucketed, with_prefix)
+
+    bdir = tempfile.mkdtemp(prefix="gh_bucketed_")
+    try:
+        pgb = with_prefix(with_geohash(pg, "lat", "lon", 5))
+        t0 = time.perf_counter()
+        tbl = persist_bucketed(pgb.select("url", "lang", "gh", "gh2"),
+                               "bench_pages_bucketed",
+                               os.path.join(bdir, "pages"), n_buckets=cpus)
+        timings["q6_bucketed_write_once"] = round(time.perf_counter() - t0, 3)
+        timed("q6_tile_stats_p5_bucketed",
+              lambda: bucketed_tile_stats(tbl, tile_col="gh")
+              .agg(F.count(F.lit(1)), F.sum("n_pages")).collect())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bench_pages_bucketed")
+        shutil.rmtree(bdir, ignore_errors=True)
+
+    # q7-q9: near-dup detection over the documents table — minhash/simhash
+    # must stay within ~2x of the fully-relational ngram path (proves the
+    # vectorized signature UDFs are not the bottleneck)
+    from geohash_dotnet_spark.operators import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+    timed("q7_ngram_jaccard", lambda: ngram_jaccard_pairs(docs, threshold=0.5).count())
+    timed("q8_minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+    timed("q9_simhash_pairs", lambda: simhash_near_pairs(docs, max_hamming=3).count())
+
     pipeline_s = timings["q1_encode_p12"] + timings["q3_flagship_join"]
     pages_per_sec = round(n_pages / max(pipeline_s, 1e-9), 1)
 

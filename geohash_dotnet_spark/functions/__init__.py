@@ -25,3 +25,4 @@ from .udfs import (  # noqa: F401
     point_in_polygon,
 )
 from . import oracle  # noqa: F401
+from . import precision  # noqa: F401

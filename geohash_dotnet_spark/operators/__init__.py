@@ -1,6 +1,11 @@
 """Dataflow operators (SURVEY.md §2 inventory + training-data extensions)."""
 
-from .coverage import cover_circles, cover_polygons, plan_polygon_tasks  # noqa: F401
+from .coverage import (  # noqa: F401
+    CoverageMetrics,
+    cover_circles,
+    cover_polygons,
+    plan_polygon_tasks,
+)
 from .compress import compress_cells  # noqa: F401
 from .spatial_join import (  # noqa: F401
     auto_salted_join,

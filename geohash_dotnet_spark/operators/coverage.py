@@ -33,6 +33,42 @@ from ..kernels import polygon as PK
 TASK_TARGET_CELLS = 100_000
 
 
+class CoverageMetrics:
+    """Per-task progress metrics for the coverage operators — the Spark
+    analogue of the reference's throttled IProgress<double> reporting
+    (/root/reference/src/PolygonHasher.cs:180-194): a user covering a
+    continent at p7 can watch cells/tasks tick in near-real-time via
+    accumulators instead of flying blind until job end.
+
+    * ``tasks_total``   — set at plan time (driver-side, exact)
+    * ``tasks_done``    — accumulator, incremented once per task row
+    * ``cells_emitted`` — accumulator, incremented per emitted batch
+                          (pre-``distinct``, so >= the final row count
+                          when coverings overlap across split parts)
+
+    Accumulator caveat (Spark semantics): task retries/speculation can
+    re-count; values are exact on clean runs and monotone upper bounds
+    otherwise — fine for progress, not for billing.
+    """
+
+    def __init__(self, spark: SparkSession):
+        sc = spark.sparkContext
+        self.tasks_total = 0
+        self.tasks_done = sc.accumulator(0)
+        self.cells_emitted = sc.accumulator(0)
+
+    def progress(self) -> float:
+        """Fraction of planned tasks completed (driver-side poll)."""
+        if self.tasks_total <= 0:
+            return 0.0
+        return min(self.tasks_done.value / self.tasks_total, 1.0)
+
+    def as_dict(self) -> dict:
+        return {"tasks_total": self.tasks_total,
+                "tasks_done": self.tasks_done.value,
+                "cells_emitted": self.cells_emitted.value}
+
+
 def plan_polygon_tasks(polygons: list[tuple[str, str, int, str]]) -> list[dict]:
     """Driver-side prep: (polygon_id, wkt, precision, criteria) -> task rows.
 
@@ -64,17 +100,23 @@ def plan_polygon_tasks(polygons: list[tuple[str, str, int, str]]) -> list[dict]:
 
 
 def cover_polygons(spark: SparkSession, polygons: list[tuple[str, str, int, str]],
-                   num_partitions: int | None = None) -> DataFrame:
+                   num_partitions: int | None = None,
+                   metrics: CoverageMetrics | None = None) -> DataFrame:
     """Distributed polygon coverage -> DataFrame(polygon_id string, cell string).
 
     Result is distinct per (polygon_id, cell) — the distributed analogue of
     the reference's locked HashSet union (src/PolygonHasher.cs:169-173).
+    Pass a ``CoverageMetrics`` to watch per-task progress mid-job.
     """
     tasks = plan_polygon_tasks(polygons)
+    if metrics is not None:
+        metrics.tasks_total += len(tasks)
     if not tasks:
         return spark.createDataFrame([], "polygon_id string, cell string")
     n_part = num_partitions or min(len(tasks), spark.sparkContext.defaultParallelism)
     tasks_df = spark.createDataFrame(pd.DataFrame(tasks)).repartition(n_part)
+    acc_tasks = metrics.tasks_done if metrics is not None else None
+    acc_cells = metrics.cells_emitted if metrics is not None else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,6 +125,9 @@ def cover_polygons(spark: SparkSession, polygons: list[tuple[str, str, int, str]
                          for r in row.rings]
                 cells = PK.cover_part(rings, int(row.precision), row.criteria,
                                       lat_range=(int(row.row_lo), int(row.row_hi)))
+                if acc_tasks is not None:
+                    acc_tasks.add(1)
+                    acc_cells.add(int(len(cells)))
                 if len(cells):
                     yield pd.DataFrame({"polygon_id": row.polygon_id,
                                         "cell": cells})
@@ -93,18 +138,23 @@ def cover_polygons(spark: SparkSession, polygons: list[tuple[str, str, int, str]
 
 
 def cover_circles(spark: SparkSession, circles_df: DataFrame,
-                  default_criteria: str = "intersects") -> DataFrame:
+                  default_criteria: str = "intersects",
+                  metrics: CoverageMetrics | None = None) -> DataFrame:
     """Distributed circle coverage.
 
     circles_df columns: circle_id string, lat double, lon double,
     radius_m double, optional precision int (null -> auto), optional
-    criteria string. Returns (circle_id, cell).
+    criteria string. Returns (circle_id, cell). Pass a ``CoverageMetrics``
+    to watch per-circle progress mid-job (tasks_total is unknown for a
+    lazily-sized circles DataFrame; set it yourself if you know it).
     """
     cols = circles_df.columns
     if "precision" not in cols:
         circles_df = circles_df.withColumn("precision", F.lit(None).cast("int"))
     if "criteria" not in cols:
         circles_df = circles_df.withColumn("criteria", F.lit(default_criteria))
+    acc_tasks = metrics.tasks_done if metrics is not None else None
+    acc_cells = metrics.cells_emitted if metrics is not None else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,6 +163,9 @@ def cover_circles(spark: SparkSession, circles_df: DataFrame,
                 cells = CK.cover_circle(float(row.lat), float(row.lon),
                                         float(row.radius_m), p,
                                         row.criteria or default_criteria)
+                if acc_tasks is not None:
+                    acc_tasks.add(1)
+                    acc_cells.add(int(len(cells)))
                 if len(cells):
                     yield pd.DataFrame({"circle_id": row.circle_id, "cell": cells})
 

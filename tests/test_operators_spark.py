@@ -280,6 +280,43 @@ def test_minhash_signature_matches_reference_math(spark):
             assert got == want, (doc_id, k)
 
 
+def test_coverage_metrics_accumulators(spark):
+    """Progress accumulators (the reference's IProgress analogue,
+    src/PolygonHasher.cs:180-194): task + cell counts must reconcile with
+    the emitted rows exactly on a clean single-part run."""
+    from geohash_dotnet_spark.operators import CoverageMetrics
+
+    m = CoverageMetrics(spark)
+    df = cover_polygons(spark, [("ca", CAL_WKT, 5, "contains")], metrics=m)
+    assert m.tasks_total > 0 and m.tasks_done.value == 0  # lazy until action
+    n = df.count()
+    assert m.tasks_done.value == m.tasks_total
+    assert m.cells_emitted.value == n  # single part -> no cross-part dups
+    assert m.progress() == 1.0
+
+    m2 = CoverageMetrics(spark)
+    circles = spark.createDataFrame(
+        [("a", 52.52, 13.405, 50_000.0), ("b", -33.87, 151.21, 25_000.0)],
+        "circle_id string, lat double, lon double, radius_m double")
+    out = cover_circles(spark, circles, metrics=m2)
+    n2 = out.count()
+    assert m2.tasks_done.value == 2
+    assert m2.cells_emitted.value == n2
+
+
+def test_precision_constants():
+    from geohash_dotnet_spark.functions import precision as P
+    from geohash_dotnet_spark.kernels.distance import cell_size_m
+
+    assert P.SIZE_KM_5X5 == 5 and P.SIZE_M_1X1 == 10 and P.SIZE_MM_37X19 == 12
+    assert sorted(P.APPROX_CELL_SIZE_M) == list(range(1, 13))
+    # documented magnitudes are loose (reference doc aliases): within ~2x
+    for p, (w_doc, h_doc) in P.APPROX_CELL_SIZE_M.items():
+        w, h = cell_size_m(p, 0.0)
+        assert 0.5 < w / w_doc < 1.5, p
+        assert 0.5 < h / h_doc < 1.5, p
+
+
 def test_quality_no_lane_overflow(spark):
     """Regression (round-1 ADVICE): >4095 stopword hits in one language
     must not carry into the next lane, and huge token counts must not
@@ -327,21 +364,68 @@ def test_text_stats_and_quality(spark, sf_med):
     assert set(out.lang_pred) <= {"en", "de", "es", "fr", "und"}
 
 
-def test_multimodal_plumbing(spark, sf_small):
+def test_multimodal_real_decode_roundtrip(spark, sf_small):
+    """Generator builds real BMP/WAV bytes; the decoder must recover the
+    exact per-channel means / amplitude stats by parsing those bytes."""
     from geohash_dotnet_spark.operators import extract_features, synthetic_media
+    from geohash_dotnet_spark.operators.multimodal import _decode_real
 
-    pg = pages(spark, sf_small).limit(20)
+    pg = pages(spark, sf_small).limit(40)
     media = synthetic_media(pg)
-    feats = extract_features(media, decoder="fake").toPandas()
-    assert len(feats) == 20
-    assert all(len(f) == 32 for f in feats.features)
-    assert all(abs(sum(f) - 1.0) < 1e-3 for f in feats.features)
-    # real decoder raises cleanly
+    feats = extract_features(media, decoder="real").toPandas()
+    assert len(feats) == 40
+    kinds = set(feats.media_type)
+    assert "image" in kinds  # hash mix produces mostly images
+    for row in feats.itertuples(index=False):
+        want = _decode_real(row.payload, row.media_type)
+        assert np.array_equal(np.array(row.features), want)
+        if row.media_type == "image":
+            assert len(row.features) == 3
+            assert all(0 <= v <= 255 for v in row.features)
+            assert row.width % 4 == 0 and row.height > 0
+        else:
+            assert len(row.features) == 2
+            assert row.duration_s > 0
+
+    # fake (container-agnostic histogram) path still available
+    fk = extract_features(media, decoder="fake").toPandas()
+    assert all(len(f) == 32 for f in fk.features)
+    assert all(abs(sum(f) - 1.0) < 1e-3 for f in fk.features)
+
+    # corrupt payload raises cleanly
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
-    bad = extract_features(media, decoder="real")
-    with _pytest.raises(Exception):
-        bad.collect()
+    with _pytest.raises(ValueError):
+        _decode_real(b"NOTACONTAINERATALL", "image")
+
+
+def test_multimodal_decoder_parses_foreign_bytes():
+    """The decoder must work on containers we did not generate: build a
+    BMP with padding (width not divisible by 4) and a WAV by hand."""
+    import struct
+
+    from geohash_dotnet_spark.operators.multimodal import _decode_real
+
+    w, h = 3, 2  # stride 12 with 3 bytes padding per row
+    stride = ((3 * w + 3) // 4) * 4
+    px = bytearray()
+    vals = list(range(3 * w))
+    for _ in range(h):
+        px += bytes(vals) + b"\x00" * (stride - 3 * w)
+    payload = (struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                             2835, 2835, 0, 0) + bytes(px))
+    f = _decode_real(bytes(payload), "image")
+    assert np.allclose(f, [np.mean([0, 3, 6]), np.mean([1, 4, 7]),
+                           np.mean([2, 5, 8])])
+
+    sr, samples = 8000, [0, 100, -100, 32767, -32768]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    f2 = _decode_real(wav, "audio")
+    s = np.array(samples, dtype=np.float64)
+    assert np.allclose(f2, [s.mean(), np.sqrt((s * s).mean())])
 
 
 def test_srp_signature_vectorized_twin(spark, sf_med):

@@ -61,6 +61,53 @@ def test_native_paths_no_python_nodes(spark, sf_small):
         assert marker not in plan, marker
 
 
+def test_bucketed_layout_eliminates_exchanges(spark, sf_small, tmp_path):
+    """SURVEY §4.3 end-to-end: a pages table persisted bucketBy(gh2) must
+    aggregate per tile AND join against a same-bucketed stats table with
+    ZERO shuffle exchanges — the scan itself carries the distribution."""
+    from geohash_dotnet_spark.plans.bucketing import (
+        bucketed_tile_stats, persist_bucketed, with_prefix)
+
+    pg = with_prefix(with_geohash(pages(spark, sf_small), "lat", "lon", 5))
+    t_pages = persist_bucketed(pg.select("url", "lang", "gh", "gh2"),
+                               "t_bucket_pages", str(tmp_path / "bp"),
+                               n_buckets=8)
+    agg = bucketed_tile_stats(t_pages)
+    plan = _executed(agg)
+    assert "Exchange" not in plan, plan[:3000]
+    # sanity: values identical to the unbucketed rollup
+    want = (pg.groupBy("gh2").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("gh2").collect())
+    got = agg.select(F.col("tile").alias("gh2"), F.col("n_pages").alias("n")) \
+        .orderBy("gh2").collect()
+    assert got == want
+
+    # full-precision rollup: grouping by (gh2, gh) is semantically the
+    # p5 tile_stats but shuffle-free on this layout
+    agg5 = bucketed_tile_stats(t_pages, tile_col="gh")
+    plan5 = _executed(agg5)
+    assert "Exchange" not in plan5, plan5[:3000]
+    want5 = sorted((r["gh"], r["n"]) for r in
+                   pg.groupBy("gh").agg(F.count(F.lit(1)).alias("n")).collect())
+    got5 = sorted((r["tile"], r["n_pages"]) for r in agg5.collect())
+    assert got5 == want5
+
+    # co-located join: per-tile enrichment against a same-bucketed dim
+    stats = agg.select(F.col("tile").alias("gh2"), "n_pages")
+    t_stats = persist_bucketed(stats, "t_bucket_stats",
+                               str(tmp_path / "bs"), n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = t_pages.join(t_stats, on="gh2")
+        jplan = _executed(j)
+        assert "Exchange" not in jplan, jplan[:3000]
+        assert j.count() == t_pages.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql("DROP TABLE IF EXISTS t_bucket_pages")
+    spark.sql("DROP TABLE IF EXISTS t_bucket_stats")
+
+
 def test_whole_stage_codegen_covers_encode(spark, sf_small):
     pg = with_geohash(pages(spark, sf_small), "lat", "lon", 7)
     plan = _executed(pg.select("gh"))
