@@ -69,46 +69,53 @@ def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
     Physical note: higher-order-function expressions are interpreted (not
     whole-stage codegen) and each *reference* to one re-evaluates it, so
     the naive formulation (one filter per language) tokenizes the text
-    five times. Instead a single ``aggregate`` traversal packs the four
-    per-language hit counts into two 64-bit accumulators (a struct of two
-    longs, one 31-bit lane per language). A lane saturates only past 2^31
-    hits — beyond Spark's own 2^31 string-length ceiling, so no realistic
-    document can overflow a lane (the earlier 12-bit-lane formulation
-    silently carried past 4095 hits). The token count is a plain
-    ``size()`` of the split array — native, overflow-free. Everything
-    downstream is cheap integer bit math; ~2x faster than the naive
-    five-traversal form at 5M rows, identical values.
+    five times. Instead a single ``aggregate`` traversal packs the token
+    count and all four per-language hit counts into bit fields of one
+    64-bit accumulator (12-bit lanes per language at bits 0/12/24/36,
+    token count at bits 48+) — ~2x faster at 5M rows. Overflow safety
+    (round-1 ADVICE): the packed path is taken only when
+    ``octet_length(text) <= 8190`` — an O(1) byte-count test that bounds
+    the token count (hence every lane) at 4095, making carries provably
+    impossible; longer documents take an exact slow path (one ``filter``
+    traversal per language + a ``size`` recount) via per-row CASE, so
+    values are identical at any document size — a giant document is
+    slower, never wrong.
     """
     langs = list(STOPWORDS)
     toks = _tokens(F.col(text))
     zero = F.lit(0).cast("long")
+    lane_cap = (1 << 12) - 1  # 4095
 
     max_sw_len = max(len(w) for ws in STOPWORDS.values() for w in ws)
 
-    def lane_inc(x, pair: int):
-        """Increment expression for the two languages in packed long ``pair``
-        (langs[2*pair] at bits 0..30, langs[2*pair+1] at bits 31..61)."""
-        inner = zero
-        for slot, lang in enumerate(langs[2 * pair:2 * pair + 2]):
-            inner = inner + F.when(x.isin(*STOPWORDS[lang]),
-                                   F.lit(1 << (31 * slot)).cast("long")).otherwise(zero)
-        # the length guard lets most tokens skip the string comparisons
-        # (every stopword is <= 4 chars) — ~40% faster on real text,
-        # provably identical result
-        return F.when(F.length(x) <= max_sw_len, inner).otherwise(zero)
-
-    acc0 = F.struct(zero.alias("p0"), zero.alias("p1"))
-
     def merge(acc, x):
-        return F.struct((acc["p0"] + lane_inc(x, 0)).alias("p0"),
-                        (acc["p1"] + lane_inc(x, 1)).alias("p1"))
+        inner = zero
+        for i, lang in enumerate(langs):
+            inner = inner + F.when(x.isin(*STOPWORDS[lang]),
+                                   F.lit(1 << (12 * i)).cast("long")).otherwise(zero)
+        # token count in bits 48+; the length guard lets most tokens skip
+        # all 40 string comparisons (every stopword is <= 4 chars) — ~40%
+        # faster on real text, provably identical result
+        return acc + F.lit(1 << 48).cast("long") + \
+            F.when(F.length(x) <= max_sw_len, inner).otherwise(zero)
 
-    out = df.withColumn("__q_packed", F.aggregate(toks, acc0, merge))
-    lane_mask = F.lit((1 << 31) - 1).cast("long")
-    hit = {l: F.shiftright(F.col("__q_packed")[f"p{i // 2}"], 31 * (i % 2))
-               .bitwiseAND(lane_mask)
-           for i, l in enumerate(langs)}
-    ntoks = F.size(toks).cast("long")
+    # <= 8190 bytes => <= 8190 chars => <= 4095 whitespace-separated
+    # tokens => no 12-bit lane (nor the count field) can ever carry.
+    # octet_length is O(1) — no extra tokenization anywhere on this path.
+    fast = F.octet_length(F.col(text)) <= F.lit(8190)
+    out = df.withColumn(
+        "__q_packed",
+        F.when(fast, F.aggregate(toks, zero, merge)).otherwise(zero))
+
+    def hit_col(i: int, lang: str):
+        packed_lane = F.shiftright(F.col("__q_packed"), 12 * i) \
+            .bitwiseAND(F.lit(lane_cap).cast("long"))
+        slow = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+        return F.when(fast, packed_lane).otherwise(slow.cast("long"))
+
+    hit = {l: hit_col(i, l) for i, l in enumerate(langs)}
+    ntoks = F.when(fast, F.shiftright(F.col("__q_packed"), 48)) \
+        .otherwise(F.size(toks).cast("long"))
     n = F.greatest(ntoks, F.lit(1))
     best = F.greatest(*[hit[l] for l in langs])
     # first language (in STOPWORDS order) achieving the max wins ties
@@ -126,7 +133,7 @@ def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
                     + F.least(ntoks / F.lit(400.0), F.lit(0.5))
                     ).cast("double")),
     })
-    return out.drop("__q_packed")
+    return out.drop("__q_packed", "__q_n")
 
 
 def quality_sql(inner: str = "documents", text: str = "text") -> str:

@@ -324,14 +324,18 @@ def test_quality_no_lane_overflow(spark):
     from geohash_dotnet_spark.operators import with_quality
 
     df = spark.createDataFrame(
-        [(1, " ".join(["the"] * 5000)),
-         (2, " ".join(["der"] * 40000)),
-         (3, "the " * 3 + "der " * 5000)],
+        [(1, " ".join(["the"] * 5000)),       # 20 KB -> exact slow path
+         (2, " ".join(["der"] * 40000)),      # 160 KB -> exact slow path
+         (3, "the " * 3 + "der " * 5000),
+         (4, "the " * 2000),                  # 8000 B -> packed fast path
+         (5, "el " * 2730)],                  # 8190 B -> fast-path boundary
         "doc_id long, text string")
     out = {r["doc_id"]: r for r in with_quality(df).collect()}
     assert out[1]["stopword_ratio"] == 1.0 and out[1]["lang_pred"] == "en"
     assert out[2]["stopword_ratio"] == 1.0 and out[2]["lang_pred"] == "de"
     assert out[3]["lang_pred"] == "de" and out[3]["quality_score"] == 1.0
+    assert out[4]["stopword_ratio"] == 1.0 and out[4]["lang_pred"] == "en"
+    assert out[5]["stopword_ratio"] == 1.0 and out[5]["lang_pred"] == "es"
 
 
 def test_cosine_topk_and_lsh(spark, sf_med):
