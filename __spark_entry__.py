@@ -76,6 +76,7 @@ from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
 )
 from geohash_dotnet_spark.operators.multimodal import media_features_sql  # noqa: E402
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
+    cosine_near_pairs_sql,
     cosine_topk_sql,
     lsh_cosine_topk_sql,
 )
@@ -395,6 +396,15 @@ def q_cosine_topk(spark, sf_dir):
             .orderBy("q_id", "rank"))
 
 
+def q_cosine_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (banded SRP-LSH self-join + exact
+    verify); oracle replays the identical banded candidate generation."""
+    from geohash_dotnet_spark.operators import cosine_near_pairs
+
+    return (cosine_near_pairs(_emb(spark, sf_dir), threshold=0.4)
+            .orderBy("id_a", "id_b"))
+
+
 def q_lsh_cosine_topk(spark, sf_dir):
     """LSH-bucketed approximate cosine top-k (scale path). Oracle replays
     the seed-fixed hyperplane buckets + multiprobe + rerank in DuckDB."""
@@ -550,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "cosine_near_pairs": q_cosine_near_pairs,
         "multimodal_features": q_multimodal_features,
         "events_windowed_tiles": q_events_windowed_tiles,
         "flagship": q_flagship,
@@ -758,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({quality_sql()}) ORDER BY doc_id",
         "cosine_topk": cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "lsh_cosine_topk": lsh_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
+        "cosine_near_pairs": cosine_near_pairs_sql(0.4),
         "flagship":
             f"SELECT substr(gh, 1, 1) AS tile1, lang, count(*) AS n_pages, "
             f"{fp6_sql('CAST(sum(CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0')} AS avg_quality "

@@ -244,20 +244,47 @@ def split_antimeridian(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
 # ---------------------------------------------------------------------------
 
 def _centers_inside(rings, cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
-    """Even-odd crossing test for the (len(cy), len(cx)) grid of points."""
-    inside = np.zeros((cy.shape[0], cx.shape[0]), dtype=bool)
+    """Even-odd crossing test for the (len(cy), len(cx)) grid of points.
+
+    Two regimes (identical parity result):
+    * few edges — one (R, C) broadcast per edge, minimal overhead;
+    * many edges (large coastlines) — per-row sort + searchsorted:
+      inside(c) = parity of #{crossing edges with x_int > cx}, which is
+      O(E log E + C log E) per row instead of O(E * C), so a 100k-vertex
+      ring costs ~log(E) per cell, not ~E.
+    """
+    n_rows, n_cols = cy.shape[0], cx.shape[0]
+    inside = np.zeros((n_rows, n_cols), dtype=bool)
     for ring in rings:
         x1, y1 = ring[:-1, 0], ring[:-1, 1]
         x2, y2 = ring[1:, 0], ring[1:, 1]
-        for e in range(x1.shape[0]):
-            ax, ay, bx, by = x1[e], y1[e], x2[e], y2[e]
-            if ay == by:
-                continue
-            crosses_row = (ay > cy) != (by > cy)            # (R,)
-            if not crosses_row.any():
-                continue
-            x_int = ax + (cy - ay) * (bx - ax) / (by - ay)   # (R,)
-            inside ^= crosses_row[:, None] & (cx[None, :] < x_int[:, None])
+        valid = y1 != y2
+        x1v, y1v, x2v, y2v = x1[valid], y1[valid], x2[valid], y2[valid]
+        n_edges = x1v.shape[0]
+        if n_edges == 0:
+            continue
+        if n_edges <= 256:
+            for e in range(n_edges):
+                ax, ay, bx, by = x1v[e], y1v[e], x2v[e], y2v[e]
+                crosses_row = (ay > cy) != (by > cy)        # (R,)
+                if not crosses_row.any():
+                    continue
+                x_int = ax + (cy - ay) * (bx - ax) / (by - ay)
+                inside ^= crosses_row[:, None] & (cx[None, :] < x_int[:, None])
+            continue
+        slope = (x2v - x1v) / (y2v - y1v)
+        # row blocks keep the (E, Rb) intermediates bounded (~16 MB)
+        r_block = max(1, 2_000_000 // n_edges)
+        for r0 in range(0, n_rows, r_block):
+            ys = cy[r0:r0 + r_block]
+            crosses = (y1v[:, None] > ys[None, :]) != (y2v[:, None] > ys[None, :])
+            x_int = x1v[:, None] + (ys[None, :] - y1v[:, None]) * slope[:, None]
+            for rr in range(ys.shape[0]):
+                xs = x_int[crosses[:, rr], rr]
+                if xs.size:
+                    xs.sort()
+                    cnt_gt = xs.size - np.searchsorted(xs, cx, side="right")
+                    inside[r0 + rr] ^= (cnt_gt & 1).astype(bool)
     return inside
 
 

@@ -27,6 +27,7 @@ from .dedup import (  # noqa: F401
     simhash_near_pairs,
 )
 from .similarity import (  # noqa: F401
+    cosine_near_pairs,
     cosine_topk,
     lsh_cosine_topk,
     signature_col,

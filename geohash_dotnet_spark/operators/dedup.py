@@ -197,7 +197,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text: str = "text", n: int = 3, num_hashes: int = 128,
-                      bands: int = 32, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 32, threshold: float = 0.5,
+                      persist_shingles: bool = False) -> DataFrame:
     """Banded-LSH candidate generation + candidate-restricted exact verify.
 
     sig -> ``bands`` band-hashes -> explode -> self-join on (band, hash)
@@ -215,6 +216,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     rows_per_band = num_hashes // bands
     sh = df.select(F.col(id_col).alias("id"),
                    _shingles(F.col(text), n).alias("sh"))
+    if persist_shingles:
+        # the shingle arrays feed three lineage branches (signatures +
+        # both verify sides); persisting trades memory for skipping two
+        # extra tokenization passes over the corpus — worth it when the
+        # corpus scan dominates (the 100 TB regime), skippable at small
+        # scale where recompute is cheaper than cache churn
+        sh = sh.persist()
     sigs = sh.select(
         "id", _minhash_sig_udf(num_hashes)(
             F.transform("sh", lambda s: F.xxhash64(s))).alias("sig"))

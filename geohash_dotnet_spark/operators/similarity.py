@@ -147,6 +147,72 @@ def lsh_cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
             .select(q_id, "rank", id_col, "cosine"))
 
 
+def cosine_near_pairs(emb_df: DataFrame, threshold: float = 0.9,
+                      dim: int = 64, n_planes: int = 16, bands: int = 4,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-flavored sibling
+    of lsh_cosine_topk): banded SRP-LSH self-join + exact cosine verify.
+
+    The signature's ``n_planes`` bits split into ``bands``; a pair is a
+    candidate iff at least one whole band matches (for cosine>=0.9 the
+    default 4x4-bit banding recalls ~95% of true pairs), then every
+    candidate is exactly verified with the native fp6 cosine — no
+    all-pairs cross join anywhere. Returns (id_a, id_b, cosine).
+
+    Scale shape: the only self-join is on (band, band_value); at larger
+    corpus sizes raise n_planes (wider signatures) and bits-per-band so
+    buckets stay selective — recall/bucket-width trade like MinHash
+    banding. Deterministic (seed-fixed hyperplanes), so the DuckDB twin
+    (cosine_near_pairs_sql) replays the identical candidate set.
+    """
+    bits_per_band = n_planes // bands
+    mask = F.lit((1 << bits_per_band) - 1).cast("long")
+    tagged = emb_df.withColumn("sig", signature_col_vec(vec_col, dim, n_planes))
+    band_vals = F.array(*[
+        F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(mask)
+        for b in range(bands)])
+    banded = tagged.select(F.col(id_col).alias("id"),
+                           F.posexplode(band_vals).alias("band", "bv"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, on=["band", "bv"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    ea = emb_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = emb_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (with_cosine(cand.join(ea, on="id_a").join(eb, on="id_b"),
+                        "va", "vb", "cosine")
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def cosine_near_pairs_sql(threshold: float, dim: int = 64, n_planes: int = 16,
+                          bands: int = 4, inner: str = "embeddings") -> str:
+    """DuckDB oracle of cosine_near_pairs: replay the seed-fixed
+    signatures, the banded candidate join, and the exact verify."""
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sig = _signature_sql("embedding", dim, n_planes)
+    band_match = " OR ".join(
+        f"((a.sig >> {b * bits_per_band}) & {mask}) = "
+        f"((b.sig >> {b * bits_per_band}) & {mask})"
+        for b in range(bands))
+    cos = _cosine_fp6_sql("va", "vb")
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding, {sig} AS sig FROM {inner}
+), cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({band_match})
+)
+SELECT id_a, id_b, {cos} AS cosine FROM cand
+WHERE {cos} >= {threshold} ORDER BY id_a, id_b
+"""
+
+
 def _cosine_fp6_sql(a: str, b: str) -> str:
     """6-dp fixed-point cosine between two list columns (DuckDB)."""
     return (f"floor(list_sum(list_transform(list_zip({a}, {b}), "

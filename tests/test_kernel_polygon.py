@@ -240,3 +240,42 @@ def test_parse_wkt_multipolygon():
     wkt = "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"
     polys = parse_wkt(wkt)
     assert len(polys) == 2
+
+
+def test_centers_inside_many_edge_path_parity():
+    """_centers_inside switches to a sort/searchsorted parity formulation
+    above 256 edges — it must agree exactly with the per-edge broadcast
+    path on the same high-vertex ring (noisy star, 1,000 vertices, plus
+    a 64-vertex hole)."""
+    import numpy as np
+
+    from geohash_dotnet_spark.kernels.polygon import _centers_inside
+
+    rng = np.random.default_rng(11)
+    t = np.linspace(0, 2 * np.pi, 1001)
+    r = 10 + 2 * np.sin(9 * t) + rng.uniform(-0.5, 0.5, t.shape)
+    outer = np.column_stack([r * np.cos(t), r * np.sin(t)])
+    outer[-1] = outer[0]
+    th = np.linspace(0, 2 * np.pi, 65)
+    hole = np.column_stack([3 * np.cos(th), 3 * np.sin(th)])
+    hole[-1] = hole[0]
+    rings = [outer, hole]
+
+    cx = np.linspace(-13, 13, 173)
+    cy = np.linspace(-13, 13, 91)
+    got = _centers_inside(rings, cx, cy)
+
+    # independent per-edge xor accumulation (the small-E formulation)
+    want = np.zeros((cy.shape[0], cx.shape[0]), dtype=bool)
+    for ring in rings:
+        x1, y1 = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        for e in range(x1.shape[0]):
+            ax, ay, bx, by = x1[e], y1[e], x2[e], y2[e]
+            if ay == by:
+                continue
+            crosses = (ay > cy) != (by > cy)
+            x_int = ax + (cy - ay) * (bx - ax) / (by - ay)
+            want ^= crosses[:, None] & (cx[None, :] < x_int[:, None])
+    assert got.sum() > 0
+    assert np.array_equal(got, want)

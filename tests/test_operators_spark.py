@@ -432,6 +432,32 @@ def test_multimodal_decoder_parses_foreign_bytes():
     assert np.allclose(f2, [s.mean(), np.sqrt((s * s).mean())])
 
 
+def test_cosine_near_pairs_finds_planted_dups(spark):
+    """Plant 20 near-duplicate vector pairs (cosine ~0.999); the banded
+    SRP self-join must recall nearly all of them, and the exact verify
+    guarantees no pair below the threshold ever escapes."""
+    from geohash_dotnet_spark.operators import cosine_near_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 64))
+    dup = base + 0.02 * rng.standard_normal((20, 64))
+    vecs = np.vstack([base, dup])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in cosine_near_pairs(df, threshold=0.9).collect()}
+    planted = {(i, i + 20) for i in range(20)}
+    assert all(c >= 0.9 for c in got.values())
+    found = planted & set(got)
+    assert len(found) >= 17, f"recall too low: {len(found)}/20"
+    # verified subset of brute force: no fabricated pairs
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = n @ n.T
+    for (ia, ib) in got:
+        assert sims[ia, ib] >= 0.9 - 1e-6
+
+
 def test_srp_signature_vectorized_twin(spark, sf_med):
     """signature_col_vec (Arrow matmul path) must produce bit-identical
     signatures to the native per-plane expression."""
