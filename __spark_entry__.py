@@ -480,6 +480,9 @@ def q_events_windowed_tiles(spark, sf_dir):
 
 # TPC-H-style relational sanity (scan/filter/agg/join/window/limit)
 def q_pricing_summary(spark, sf_dir):
+    # timestamp-literal comparison must agree with the tz-naive DuckDB
+    # twin in any session timezone (same reasoning as events query)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     def s6(col):
         # order-insensitive exact sum: per-row fixed-point -> integer sum
