@@ -85,6 +85,7 @@ from geohash_dotnet_spark.operators.text import (  # noqa: E402
     fp6_sql,
     quality_sql,
     token_stats_sql,
+    winnow_sql,
 )
 from geohash_dotnet_spark.sources.pages import pages  # noqa: E402
 
@@ -372,10 +373,20 @@ def q_simhash_pairs(spark, sf_dir):
         .orderBy("id_a", "id_b")
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (k=8 char grams, w=16
+    windows) — the classic local copy-detection fingerprint set; fully
+    native expressions with a value-exact DuckDB twin."""
+    from geohash_dotnet_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir)).orderBy("id", "fp")
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting over documents (native exprs)."""
     return (with_token_stats(_docs(spark, sf_dir))
-            .select("doc_id", "n_tokens", "n_chars_text", "avg_token_len")
+            .select("doc_id", "n_tokens", "n_bpe_tokens", "n_chars_text",
+                    "avg_token_len")
             .orderBy("doc_id"))
 
 
@@ -560,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "quality": q_quality,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -765,8 +777,10 @@ def oracle_sql() -> dict[str, str]:
             f"{geocode_lon_sql('CAST(user_id AS VARCHAR)')} AS lon "
             f"FROM events"),
         "token_stats":
-            f"SELECT doc_id, n_tokens, n_chars_text, avg_token_len "
-            f"FROM ({token_stats_sql()}) ORDER BY doc_id",
+            f"SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_text, "
+            f"avg_token_len FROM ({token_stats_sql()}) ORDER BY doc_id",
+        "winnow_fingerprints":
+            f"SELECT id, fp FROM ({winnow_sql()}) ORDER BY id, fp",
         "quality":
             f"SELECT doc_id, stopword_ratio, lang_pred, quality_score "
             f"FROM ({quality_sql()}) ORDER BY doc_id",

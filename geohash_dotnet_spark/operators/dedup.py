@@ -274,11 +274,21 @@ def md5_60bit(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def hex60_sql(hex_expr: str) -> str:
+    """DuckDB: first 15 hex chars of an md5-hex expression -> BIGINT.
+
+    The lambda variable is deliberately obscure: callers embed this
+    inside their own list_transform lambdas, and a plain ``i`` would be
+    captured by the inner scope and silently corrupt the outer index.
+    """
+    return ("CAST(list_sum(list_transform(range(1,16), __hx -> "
+            f"CAST(strpos('0123456789abcdef', substr({hex_expr}, __hx, 1)) - 1 "
+            "AS BIGINT) << (4*(15-__hx)))) AS BIGINT)")
+
+
 def md5_60bit_sql(expr: str) -> str:
     """DuckDB twin of md5_60bit (hex digits -> shifted sum)."""
-    return ("CAST(list_sum(list_transform(range(1,16), i -> "
-            f"CAST(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 "
-            "AS BIGINT) << (4*(15-i)))) AS BIGINT)")
+    return hex60_sql(f"md5({expr})")
 
 
 def _simhash_udf():

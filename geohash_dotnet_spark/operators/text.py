@@ -36,11 +36,20 @@ def _tokens(text_col):
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
+# BPE-style pre-tokenizer approximation: alpha runs, digit runs, and each
+# non-alnum symbol as its own token — the sub-word-ish unit count LLM
+# pipelines budget by. Kept to a simple alternation so the Java (Spark)
+# and RE2 (DuckDB) regex engines agree exactly.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
 def with_token_stats(df: DataFrame, text: str = "text") -> DataFrame:
-    """n_tokens, n_chars_text, avg_token_len — native exprs."""
+    """n_tokens (whitespace), n_bpe_tokens (BPE-ish regex units),
+    n_chars_text, avg_token_len — native exprs."""
     toks = _tokens(F.col(text))
     return df.withColumns({
         "n_tokens": F.size(toks),
+        "n_bpe_tokens": F.regexp_count(F.col(text), F.lit(BPE_TOKEN_RE)),
         "n_chars_text": F.length(F.col(text)),
         "avg_token_len": fp6(
             (F.length(F.regexp_replace(F.col(text), r"\s+", ""))
@@ -52,8 +61,11 @@ def token_stats_sql(inner: str = "documents", text: str = "text") -> str:
     toks = f"string_split_regex(trim(lower({text})), '\\s+')"
     stripped = f"regexp_replace({text}, '\\s+', '', 'g')"
     ratio = f"CAST(length({stripped}) AS DOUBLE) / greatest(len({toks}), 1)"
+    bpe = f"len(regexp_extract_all({text}, '{BPE_TOKEN_RE}'))"
     return (
-        f"SELECT *, len({toks}) AS n_tokens, length({text}) AS n_chars_text, "
+        f"SELECT *, len({toks}) AS n_tokens, "
+        f"CAST({bpe} AS INT) AS n_bpe_tokens, "
+        f"length({text}) AS n_chars_text, "
         f"{fp6_sql(ratio)} AS avg_token_len "
         f"FROM {inner}"
     )
@@ -160,6 +172,68 @@ def quality_sql(inner: str = "documents", text: str = "text") -> str:
         f"{fp6_sql(score)} AS quality_score "
         f"FROM (SELECT *, {inner_sel}, greatest(len({toks}), 1) AS n FROM {inner})"
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text: str = "text", k: int = 8,
+                        w: int = 16) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-style rolling-window
+    scheme): hash every k-char gram, slide a w-hash window, keep each
+    window's minimum, dedup — the classic local fingerprint set for
+    copy/near-dup detection that survives insertions outside the window.
+
+    Entirely native expressions (transform/slice/array_min — no UDF).
+    The gram hash is the md5-derived 60-bit portable hash so the DuckDB
+    twin (winnow_sql) reproduces values exactly; at 100 TB swap
+    ``dedup.md5_60bit`` for ``xxhash64`` in the transform (same
+    plumbing, ~5x cheaper, no SQL twin). Documents shorter than k chars
+    produce no fingerprints; with fewer than w grams the single window
+    is the whole gram list (standard degenerate case).
+
+    Returns exploded (id, fp) rows.
+    """
+    from .dedup import md5_60bit
+
+    t = F.col(text)
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    grams = F.when(
+        n_grams > 0,
+        F.transform(F.sequence(F.lit(1), n_grams),
+                    lambda i: md5_60bit(t.substr(i, F.lit(k))))
+    ).otherwise(F.array().cast("array<long>"))
+    n_windows = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
+    mins = F.transform(F.sequence(F.lit(1), n_windows),
+                       lambda j: F.array_min(F.slice(grams, j, w)))
+    fps = F.array_distinct(F.filter(mins, lambda x: x.isNotNull()))
+    return df.select(F.col(id_col).alias("id"),
+                     F.explode(fps).alias("fp"))
+
+
+def winnow_sql(inner: str = "documents", id_col: str = "doc_id",
+               text: str = "text", k: int = 8, w: int = 16) -> str:
+    """DuckDB oracle twin of winnow_fingerprints (two-level transform so
+    each gram's md5 is computed once, not once per hex digit)."""
+    from .dedup import hex60_sql
+
+    to_int = hex60_sql("__h")
+    return f"""
+WITH ghex AS (
+  SELECT {id_col} AS id,
+         list_transform(range(1, greatest(length({text}) - {k - 1}, 0) + 1),
+                        i -> md5(substr({text}, i, {k}))) AS hx
+  FROM {inner}
+), grams AS (
+  SELECT id, list_transform(hx, __h -> {to_int}) AS g FROM ghex
+), fps AS (
+  SELECT id,
+         list_distinct(list_filter(
+           list_transform(range(1, greatest(len(g) - {w - 1}, 1) + 1),
+                          j -> list_min(list_slice(g, j, j + {w - 1}))),
+           x -> x IS NOT NULL)) AS fp_list
+  FROM grams
+)
+SELECT id, unnest(fp_list) AS fp FROM fps
+"""
 
 
 def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:

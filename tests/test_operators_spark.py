@@ -280,6 +280,27 @@ def test_minhash_signature_matches_reference_math(spark):
             assert got == want, (doc_id, k)
 
 
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing invariants: identical docs share all fingerprints; a
+    doc with an edit far from a region keeps that region's prints
+    (locality); short docs (<k chars) produce none."""
+    from geohash_dotnet_spark.operators.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = base[:60] + "XYZ" + base[60:]
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, "short")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(df).collect()
+    by_id: dict = {}
+    for r in fps:
+        by_id.setdefault(r["id"], set()).add(r["fp"])
+    assert by_id[1] == by_id[2]          # deterministic per content
+    overlap = len(by_id[1] & by_id[3]) / len(by_id[1])
+    assert overlap > 0.5                 # local edit keeps distant prints
+    assert 4 not in by_id                # < k chars -> no fingerprints
+
+
 def test_coverage_metrics_accumulators(spark):
     """Progress accumulators (the reference's IProgress analogue,
     src/PolygonHasher.cs:180-194): task + cell counts must reconcile with
