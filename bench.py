@@ -28,17 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
-    return (SparkSession.builder.master(f"local[{cpus}]")
-            .appName("geohash-dotnet-spark-bench")
-            .config("spark.sql.shuffle.partitions", str(2 * cpus))
-            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-            .config("spark.sql.adaptive.enabled", "true")
-            # keep wide geohash/quality expressions inside whole-stage
-            # codegen (split generated methods before the 64KB JVM limit)
-            .config("spark.sql.codegen.methodSplitThreshold", "128")
-            .config("spark.driver.memory", "16g")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate())
+    from geohash_dotnet_spark.session import apply_recommended
+
+    builder = (SparkSession.builder.master(f"local[{cpus}]")
+               .appName("geohash-dotnet-spark-bench")
+               .config("spark.driver.memory", "16g")
+               .config("spark.ui.enabled", "false"))
+    return apply_recommended(builder, shuffle_partitions=2 * cpus).getOrCreate()
 
 
 def main() -> None:

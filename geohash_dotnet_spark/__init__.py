@@ -8,8 +8,11 @@ Layers:
     operators/  dataflow operators: coverage, spatial join, kNN, compress,
                 dedup, similarity, text analysis
     sources/    deterministic Common-Crawl-style pages table synthesis
-    plans/      per-partition checkpointing / lineage / resume
-    streaming/  Structured Streaming tile counts
+    plans/      per-partition checkpointing / lineage / resume + bucketed layout
+    streaming/  Structured Streaming tile counts (windowed + stateful)
+    session     recommended SparkSession configuration (apply_recommended)
 """
 
-__version__ = "0.1.0"
+from .session import apply_recommended, recommended_conf  # noqa: F401
+
+__version__ = "0.2.0"

@@ -5,15 +5,13 @@ import pytest
 def spark():
     from pyspark.sql import SparkSession
 
-    s = (SparkSession.builder.master("local[8]")
-         .appName("geohash-dotnet-spark-tests")
-         .config("spark.sql.shuffle.partitions", "8")
-         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-         .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.sql.codegen.methodSplitThreshold", "128")
-         .config("spark.ui.enabled", "false")
-         .config("spark.driver.memory", "4g")
-         .getOrCreate())
+    from geohash_dotnet_spark.session import apply_recommended
+
+    builder = (SparkSession.builder.master("local[8]")
+               .appName("geohash-dotnet-spark-tests")
+               .config("spark.ui.enabled", "false")
+               .config("spark.driver.memory", "4g"))
+    s = apply_recommended(builder, shuffle_partitions=8).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

@@ -70,3 +70,35 @@ def test_checkpoint_invalidates_on_input_change(spark, sf_small, tmp_path):
         .filter(F.col("rep") < 2)
     r = checkpointed_write(df2, out, "bucket", b, "url")
     assert r["written"] == b
+
+
+def test_checkpoint_then_bucket_composition(spark, sf_small, tmp_path):
+    """Resumable checkpointed write composed with the bucketed layout:
+    manifests commit per slice, and the final bucketed table aggregates
+    exchange-free with values equal to the source."""
+    from pyspark.sql import functions as F
+
+    from geohash_dotnet_spark.functions import with_geohash
+    from geohash_dotnet_spark.plans import (
+        bucketed_tile_stats,
+        checkpoint_then_bucket,
+        run_lineage,
+    )
+    from geohash_dotnet_spark.sources.pages import pages
+
+    pg = with_geohash(pages(spark, sf_small), "lat", "lon", 4) \
+        .withColumn("gh2", F.substring("gh", 1, 1))
+    summary, table = checkpoint_then_bucket(
+        pg.select("url", "gh", "gh2"), str(tmp_path / "ck"),
+        "t_ckpt_bucketed", str(tmp_path / "tbl"), n_buckets=8)
+    assert summary["written"] and not summary["skipped"]
+    assert len(run_lineage(str(tmp_path / "ck"))) == len(summary["written"])
+
+    agg = bucketed_tile_stats(table)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    want = {r["gh2"]: r["n"] for r in
+            pg.groupBy("gh2").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["tile"]: r["n_pages"] for r in agg.collect()}
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS t_ckpt_bucketed")
