@@ -17,6 +17,7 @@ of hot-spotting one task (the skew lever at 100 TB scale).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -34,17 +35,21 @@ TASK_TARGET_CELLS = 100_000
 
 
 class CoverageMetrics:
-    """Per-task progress metrics for the coverage operators — the Spark
-    analogue of the reference's throttled IProgress<double> reporting
-    (/root/reference/src/PolygonHasher.cs:180-194): a user covering a
+    """Per-task progress + cancellation for the coverage operators — the
+    Spark analogue of the reference's throttled IProgress<double>
+    reporting and CancellationToken
+    (/root/reference/src/PolygonHasher.cs:52,180-194): a user covering a
     continent at p7 can watch cells/tasks tick in near-real-time via
-    accumulators instead of flying blind until job end.
+    accumulators, and abort the job mid-flight.
 
     * ``tasks_total``   — set at plan time (driver-side, exact)
     * ``tasks_done``    — accumulator, incremented once per task row
     * ``cells_emitted`` — accumulator, incremented per emitted batch
                           (pre-``distinct``, so >= the final row count
                           when coverings overlap across split parts)
+    * ``cancellable()`` — context manager tagging the triggering action
+                          with a job group; ``cancel()`` (any thread)
+                          aborts those jobs, failing the action promptly.
 
     Accumulator caveat (Spark semantics): task retries/speculation can
     re-count; values are exact on clean runs and monotone upper bounds
@@ -56,6 +61,23 @@ class CoverageMetrics:
         self.tasks_total = 0
         self.tasks_done = sc.accumulator(0)
         self.cells_emitted = sc.accumulator(0)
+        self._sc = sc
+        self.job_group = f"coverage-{id(self)}"
+
+    @contextmanager
+    def cancellable(self, description: str = "coverage job"):
+        """Run the enclosed Spark action under this metrics object's job
+        group so cancel() can abort it (CancellationToken analogue)."""
+        self._sc.setJobGroup(self.job_group, description,
+                             interruptOnCancel=True)
+        try:
+            yield self
+        finally:
+            self._sc.setLocalProperty("spark.jobGroup.id", None)
+
+    def cancel(self) -> None:
+        """Abort every job started under cancellable() (thread-safe)."""
+        self._sc.cancelJobGroup(self.job_group)
 
     def progress(self) -> float:
         """Fraction of planned tasks completed (driver-side poll)."""

@@ -325,6 +325,38 @@ def test_coverage_metrics_accumulators(spark):
     assert m2.cells_emitted.value == n2
 
 
+def test_coverage_cancellation(spark):
+    """CancellationToken analogue: cancel() from another thread must
+    abort a long-running coverage action promptly instead of letting it
+    run to completion."""
+    import threading
+    import time as _time
+
+    from geohash_dotnet_spark.operators import CoverageMetrics
+
+    m = CoverageMetrics(spark)
+    df = cover_polygons(spark, [("ca", CAL_WKT, 7, "intersects")])  # ~24M cells
+    err: list = []
+
+    def run():
+        try:
+            with m.cancellable("cancellation test"):
+                df.count()
+        except Exception as e:  # cancellation surfaces as a job failure
+            err.append(e)
+
+    t = threading.Thread(target=run)
+    t0 = _time.time()
+    t.start()
+    _time.sleep(2.0)
+    m.cancel()
+    t.join(timeout=60)
+    assert not t.is_alive(), "cancel() did not stop the coverage job"
+    assert err, "cancelled action should raise, not succeed"
+    assert "cancel" in str(err[0]).lower()
+    assert _time.time() - t0 < 55
+
+
 def test_precision_constants():
     from geohash_dotnet_spark.functions import precision as P
     from geohash_dotnet_spark.kernels.distance import cell_size_m
