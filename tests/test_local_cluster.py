@@ -63,3 +63,50 @@ def test_flagship_and_udfs_on_two_executors():
         env=dict(os.environ, PYTHONPATH=REPO))
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "CLUSTER_SMOKE_OK" in proc.stdout
+
+
+PYFILES_SCRIPT = r"""
+import os, shutil, sys, tempfile
+sys.path.insert(0, {repo!r})          # driver-side import only
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+zip_base = os.path.join(tempfile.mkdtemp(), "ghpkg")
+zip_path = shutil.make_archive(zip_base, "zip", root_dir={repo!r},
+                               base_dir="geohash_dotnet_spark")
+
+spark = (SparkSession.builder.master("local-cluster[2,2,2048]")
+         .appName("geohash-dotnet-spark-pyfiles-smoke")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.executor.memory", "1500m")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+# the real --py-files mechanism: executors' Python workers import the
+# package from this shipped zip (no PYTHONPATH on the executor side)
+spark.sparkContext.addPyFile(zip_path)
+
+from geohash_dotnet_spark.functions.udfs import gh_decode
+from geohash_dotnet_spark.sources.pages import pages
+pg = pages(spark, "/root/testdata/sf0.001")
+from geohash_dotnet_spark.functions import with_geohash
+dec = (with_geohash(pg, "lat", "lon", 5)
+       .withColumn("d", gh_decode(F.col("gh"))))   # Arrow UDF -> needs
+r = dec.agg(F.count("d.lat"), F.min("d.lat")).collect()[0]  # executor import
+assert r[0] == 500 and -90.0 <= r[1] <= 90.0, r
+spark.stop()
+print("PYFILES_SMOKE_OK")
+"""
+
+
+def test_pyfiles_zip_ships_package_to_executors():
+    """spark-submit --py-files analogue: the package zip added via
+    addPyFile must satisfy executor-side imports for Arrow UDF kernels
+    with NO PYTHONPATH reaching the executor Python workers."""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, "-c", PYFILES_SCRIPT.format(repo=REPO)],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "PYFILES_SMOKE_OK" in proc.stdout
