@@ -78,6 +78,7 @@ from geohash_dotnet_spark.operators.multimodal import media_features_sql  # noqa
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
     cosine_topk_sql,
+    ivf_cosine_topk_sql,
     lsh_cosine_topk_sql,
 )
 from geohash_dotnet_spark.operators.text import (  # noqa: E402
@@ -407,6 +408,18 @@ def q_cosine_topk(spark, sf_dir):
             .orderBy("q_id", "rank"))
 
 
+def q_ivf_cosine_topk(spark, sf_dir):
+    """IVF-style ANN top-k (coarse quantizer -> inverted lists -> probe
+    -> exact rerank); oracle replays the whole approximate path."""
+    from geohash_dotnet_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return ivf_cosine_topk(emb, queries, k=10).orderBy("q_id", "rank")
+
+
 def q_cosine_near_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (banded SRP-LSH self-join + exact
     verify); oracle replays the identical banded candidate generation."""
@@ -576,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "cosine_near_pairs": q_cosine_near_pairs,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "multimodal_features": q_multimodal_features,
         "events_windowed_tiles": q_events_windowed_tiles,
         "flagship": q_flagship,
@@ -787,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "lsh_cosine_topk": lsh_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "cosine_near_pairs": cosine_near_pairs_sql(0.4),
+        "ivf_cosine_topk": ivf_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "flagship":
             f"SELECT substr(gh, 1, 1) AS tile1, lang, count(*) AS n_pages, "
             f"{fp6_sql('CAST(sum(CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0')} AS avg_quality "

@@ -147,6 +147,88 @@ def lsh_cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
             .select(q_id, "rank", id_col, "cosine"))
 
 
+def ivf_cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:
+    """IVF-style approximate top-k: coarse quantizer -> inverted lists ->
+    probe the ``nprobe`` nearest lists -> exact rerank.
+
+    The demo quantizer takes the ``n_centroids`` lowest-id vectors as
+    centroids (deterministic and SQL-replayable; swap in offline k-means
+    centroids in production — the dataflow is identical). Every vector
+    is assigned to its max-fp6-cosine centroid (ties -> lowest centroid
+    id) via a broadcast N x C join; queries probe their ``nprobe`` best
+    centroids; candidates rerank with the exact fp6 cosine.
+
+    Scale shape: the corpus is touched by one narrow broadcast join
+    (assignment) plus one equi-join on the centroid id — no cross join
+    of the big side with the queries; inverted lists shrink the rerank
+    to ~nprobe/n_centroids of the corpus. Deterministic end-to-end, so
+    the DuckDB twin (ivf_cosine_topk_sql) replays it exactly.
+    """
+    cents = (emb_df.filter(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("cid"),
+                     F.col(vec_col).alias("c_vec")))
+
+    def assign(df, key, vec, rank_limit, out):
+        scored = with_cosine(df.crossJoin(F.broadcast(cents)), vec, "c_vec",
+                             "c_cos")
+        w = Window.partitionBy(key).orderBy(F.col("c_cos").desc(),
+                                            F.col("cid").asc())
+        return (scored.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= rank_limit)
+                .select(key, vec, F.col("cid").alias(out)))
+
+    tagged = assign(emb_df.select(id_col, vec_col), id_col, vec_col, 1, "cid")
+    probes = assign(queries_df.select(q_id, q_vec), q_id, q_vec, nprobe, "cid")
+    cand = tagged.join(F.broadcast(probes), on="cid", how="inner")
+    scored = with_cosine(cand, vec_col, q_vec, "cosine")
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
+                                         F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, "rank", id_col, "cosine"))
+
+
+def ivf_cosine_topk_sql(k: int, query_ids: list[int], n_centroids: int = 16,
+                        nprobe: int = 4, inner: str = "embeddings") -> str:
+    """DuckDB oracle of ivf_cosine_topk: replay quantizer assignment,
+    probe selection, and rerank with the identical fp6 cosine and tie
+    rules."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cos_assign = _cosine_fp6_sql("e.embedding", "c.embedding")
+    cos_q = _cosine_fp6_sql("q.embedding", "c.embedding")
+    cos_rr = _cosine_fp6_sql("t.embedding", "p.q_vec")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM {inner} WHERE vec_id < {n_centroids}
+), assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_assign} DESC, c.cid ASC) AS r
+    FROM {inner} e CROSS JOIN cents c
+  ) WHERE r = 1
+), probes AS (
+  SELECT q_id, q_vec, cid FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_q} DESC, c.cid ASC) AS r
+    FROM {inner} q CROSS JOIN cents c WHERE q.vec_id IN ({ids})
+  ) WHERE r <= {nprobe}
+), cand AS (
+  SELECT p.q_id, t.vec_id, {cos_rr} AS cosine
+  FROM assigned t JOIN probes p USING (cid)
+)
+SELECT q_id, rank, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
+
+
 def cosine_near_pairs(emb_df: DataFrame, threshold: float = 0.9,
                       dim: int = 64, n_planes: int = 16, bands: int = 4,
                       vec_col: str = "embedding",

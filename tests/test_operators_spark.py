@@ -485,6 +485,26 @@ def test_multimodal_decoder_parses_foreign_bytes():
     assert np.allclose(f2, [s.mean(), np.sqrt((s * s).mean())])
 
 
+def test_ivf_topk_quality(spark, sf_med):
+    """IVF probe path: self-match is always recalled (a vector shares its
+    own inverted list), and recall@5 vs exact top-k is reasonable with
+    nprobe=4 of 16 lists."""
+    from geohash_dotnet_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet").cache()
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    approx = ivf_cosine_topk(emb, queries, k=5).toPandas()
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    for qid in (0, 1, 2):
+        a = approx[approx.q_id == qid]
+        assert a[a["rank"] == 1].vec_id.iloc[0] == qid  # self-match
+        e_ids = set(exact[exact.q_id == qid].vec_id)
+        recall = len(set(a.vec_id) & e_ids) / len(e_ids)
+        assert recall >= 0.4, (qid, recall)
+
+
 def test_cosine_near_pairs_finds_planted_dups(spark):
     """Plant 20 near-duplicate vector pairs (cosine ~0.999); the banded
     SRP self-join must recall nearly all of them, and the exact verify
