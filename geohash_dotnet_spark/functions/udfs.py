@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..kernels import geohash as GK
-from ..kernels.polygon import _centers_inside, parse_wkt, split_antimeridian
+from ..kernels.polygon import parse_wkt, split_antimeridian
 
 
 def gh_encode_pd(lat: Column, lon: Column, precision: int) -> Column:
