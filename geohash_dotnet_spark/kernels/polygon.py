@@ -288,6 +288,69 @@ def _centers_inside(rings, cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
     return inside
 
 
+_BATCH_SUBGRID = 6       # max subgrid side for the batched edge path
+_EDGE_BATCH = 16_384     # edges per broadcast chunk (~40 MB of temporaries)
+
+
+def _edge_hits_batch(ax, ay, bx, by, c0, r0, we, he, lat0, lng0,
+                     lat_step, lng_step, edge_hit, interior_hit) -> None:
+    """Vectorized Liang-Barsky for a batch of edges whose subgrids all fit
+    in a (_BATCH_SUBGRID x _BATCH_SUBGRID) window — one broadcast over
+    (edges, dy_off, dx_off) instead of a Python iteration per edge. Same
+    formulas (hence bit-identical accept/reject decisions) as the scalar
+    loop below."""
+    n_rows, n_cols = edge_hit.shape
+    w = _BATCH_SUBGRID
+    offs = np.arange(w)
+    cols = c0[:, None, None] + offs[None, None, :]        # (E,1,W)->(E,W,W)
+    rows = r0[:, None, None] + offs[None, :, None]
+    valid = (offs[None, None, :] < we[:, None, None]) \
+        & (offs[None, :, None] < he[:, None, None])
+
+    x_lo = (cols + lng0) * lng_step
+    x_hi = x_lo + lng_step
+    y_lo = (rows + lat0) * lat_step
+    y_hi = y_lo + lat_step
+
+    dx = (bx - ax)[:, None, None]
+    dy = (by - ay)[:, None, None]
+    axb = ax[:, None, None]
+    ayb = ay[:, None, None]
+    u1 = np.zeros_like(x_lo)
+    u2 = np.ones_like(x_lo)
+    ok = valid.copy()
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dx_nz = dx != 0.0
+        safe_dx = np.where(dx_nz, dx, 1.0)
+        ta = (x_lo - axb) / safe_dx
+        tb = (x_hi - axb) / safe_dx
+        u1 = np.where(dx_nz, np.maximum(u1, np.minimum(ta, tb)), u1)
+        u2 = np.where(dx_nz, np.minimum(u2, np.maximum(ta, tb)), u2)
+        ok &= np.where(dx_nz, True, (axb >= x_lo) & (axb <= x_hi))
+
+        dy_nz = dy != 0.0
+        safe_dy = np.where(dy_nz, dy, 1.0)
+        ta = (y_lo - ayb) / safe_dy
+        tb = (y_hi - ayb) / safe_dy
+        u1 = np.where(dy_nz, np.maximum(u1, np.minimum(ta, tb)), u1)
+        u2 = np.where(dy_nz, np.minimum(u2, np.maximum(ta, tb)), u2)
+        ok &= np.where(dy_nz, True, (ayb >= y_lo) & (ayb <= y_hi))
+
+    hit = ok & (u1 <= u2)
+    if not hit.any():
+        return
+    tm = (u1 + u2) * 0.5
+    px = axb + tm * dx
+    py = ayb + tm * dy
+    interior = hit & (px > x_lo) & (px < x_hi) & (py > y_lo) & (py < y_hi)
+
+    flat_hit = (rows * n_cols + cols)[hit]
+    edge_hit.ravel()[flat_hit] = True
+    flat_int = (rows * n_cols + cols)[interior]
+    interior_hit.ravel()[flat_int] = True
+
+
 def _edge_hits(rings, lat0: int, lng0: int, lat_step: float, lng_step: float,
                shape: tuple[int, int]) -> tuple[np.ndarray, np.ndarray]:
     """Per-edge Liang-Barsky vs the candidate grid.
@@ -295,6 +358,11 @@ def _edge_hits(rings, lat0: int, lng0: int, lat_step: float, lng_step: float,
     Returns (edge_hit, interior_hit) boolean grids of ``shape`` (rows=lat).
     edge_hit: edge intersects the *closed* cell rect (touching counts).
     interior_hit: edge has a point strictly inside the *open* cell rect.
+
+    Edges whose clamped subgrid fits a small fixed window (the common
+    case — adjacent polygon vertices span a handful of cells) run in
+    vectorized batches; only long edges pay a Python iteration, so a
+    100k-vertex coastline costs ~E/16k broadcasts, not E loop bodies.
     """
     n_rows, n_cols = shape
     edge_hit = np.zeros(shape, dtype=bool)
@@ -302,7 +370,30 @@ def _edge_hits(rings, lat0: int, lng0: int, lat_step: float, lng_step: float,
 
     for ring in rings:
         p1, p2 = ring[:-1], ring[1:]
-        for e in range(p1.shape[0]):
+        eax, eay = p1[:, 0], p1[:, 1]
+        ebx, eby = p2[:, 0], p2[:, 1]
+        c0a = np.floor(np.minimum(eax, ebx) / lng_step).astype(np.int64) - 1 - lng0
+        c1a = np.floor(np.maximum(eax, ebx) / lng_step).astype(np.int64) + 1 - lng0
+        r0a = np.floor(np.minimum(eay, eby) / lat_step).astype(np.int64) - 1 - lat0
+        r1a = np.floor(np.maximum(eay, eby) / lat_step).astype(np.int64) + 1 - lat0
+        np.clip(c0a, 0, None, out=c0a)
+        np.clip(c1a, None, n_cols - 1, out=c1a)
+        np.clip(r0a, 0, None, out=r0a)
+        np.clip(r1a, None, n_rows - 1, out=r1a)
+        nonempty = (c0a <= c1a) & (r0a <= r1a)
+        wea = c1a - c0a + 1
+        hea = r1a - r0a + 1
+        small = nonempty & (wea <= _BATCH_SUBGRID) & (hea <= _BATCH_SUBGRID)
+
+        idx_small = np.nonzero(small)[0]
+        for s in range(0, idx_small.size, _EDGE_BATCH):
+            sel = idx_small[s:s + _EDGE_BATCH]
+            _edge_hits_batch(eax[sel], eay[sel], ebx[sel], eby[sel],
+                             c0a[sel], r0a[sel], wea[sel], hea[sel],
+                             lat0, lng0, lat_step, lng_step,
+                             edge_hit, interior_hit)
+
+        for e in np.nonzero(nonempty & ~small)[0]:
             ax, ay = p1[e]
             bx, by = p2[e]
             # subgrid of cells whose closed rect can touch this edge

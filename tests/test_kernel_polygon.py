@@ -279,3 +279,83 @@ def test_centers_inside_many_edge_path_parity():
             want ^= crosses[:, None] & (cx[None, :] < x_int[:, None])
     assert got.sum() > 0
     assert np.array_equal(got, want)
+
+
+def test_edge_hits_batch_path_parity():
+    """The batched Liang-Barsky edge path must agree exactly with a
+    straightforward per-edge reference on a randomized high-vertex ring
+    (mix of tiny and multi-cell edges, horizontal/vertical segments)."""
+    import numpy as np
+
+    from geohash_dotnet_spark.kernels.polygon import _edge_hits
+
+    rng = np.random.default_rng(23)
+    t = np.linspace(0, 2 * np.pi, 601)
+    r = 5 + rng.uniform(-1.5, 1.5, t.shape)
+    ring = np.column_stack([10 + r * np.cos(t), 40 + 0.7 * r * np.sin(t)])
+    # inject exact horizontal / vertical segments (dx==0 / dy==0 branches)
+    ring[10] = ring[9] + [0.0, 0.3]
+    ring[20] = ring[19] + [0.4, 0.0]
+    ring[-1] = ring[0]
+
+    lat_step, lng_step = 0.17578125, 0.3515625  # p3-ish steps
+    lat0 = int(np.floor(ring[:, 1].min() / lat_step)) - 1
+    lng0 = int(np.floor(ring[:, 0].min() / lng_step)) - 1
+    n_rows = int(np.ceil(ring[:, 1].max() / lat_step)) + 2 - lat0
+    n_cols = int(np.ceil(ring[:, 0].max() / lng_step)) + 2 - lng0
+    shape = (n_rows, n_cols)
+
+    got_e, got_i = _edge_hits([ring], lat0, lng0, lat_step, lng_step, shape)
+
+    # naive reference (the pre-batching formulation)
+    ref_e = np.zeros(shape, dtype=bool)
+    ref_i = np.zeros(shape, dtype=bool)
+    p1, p2 = ring[:-1], ring[1:]
+    for e in range(p1.shape[0]):
+        ax, ay = p1[e]
+        bx, by = p2[e]
+        c0 = max(int(np.floor(min(ax, bx) / lng_step)) - 1 - lng0, 0)
+        c1 = min(int(np.floor(max(ax, bx) / lng_step)) + 1 - lng0, n_cols - 1)
+        r0 = max(int(np.floor(min(ay, by) / lat_step)) - 1 - lat0, 0)
+        r1 = min(int(np.floor(max(ay, by) / lat_step)) + 1 - lat0, n_rows - 1)
+        if c0 > c1 or r0 > r1:
+            continue
+        cols = np.arange(c0, c1 + 1)
+        rows = np.arange(r0, r1 + 1)
+        x_lo = (cols + lng0) * lng_step
+        x_hi = x_lo + lng_step
+        y_lo = (rows + lat0) * lat_step
+        y_hi = y_lo + lat_step
+        dx, dy = bx - ax, by - ay
+        u1 = np.zeros((rows.size, cols.size))
+        u2 = np.ones((rows.size, cols.size))
+        ok = np.ones((rows.size, cols.size), dtype=bool)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if dx != 0.0:
+                ta = (x_lo[None, :] - ax) / dx
+                tb = (x_hi[None, :] - ax) / dx
+                u1 = np.maximum(u1, np.minimum(ta, tb))
+                u2 = np.minimum(u2, np.maximum(ta, tb))
+            else:
+                ok &= (ax >= x_lo[None, :]) & (ax <= x_hi[None, :])
+            if dy != 0.0:
+                ta = (y_lo[:, None] - ay) / dy
+                tb = (y_hi[:, None] - ay) / dy
+                u1 = np.maximum(u1, np.minimum(ta, tb))
+                u2 = np.minimum(u2, np.maximum(ta, tb))
+            else:
+                ok &= (ay >= y_lo[:, None]) & (ay <= y_hi[:, None])
+        hit = ok & (u1 <= u2)
+        if not hit.any():
+            continue
+        ref_e[r0:r1 + 1, c0:c1 + 1] |= hit
+        tm = (u1 + u2) * 0.5
+        px = ax + tm * dx
+        py = ay + tm * dy
+        interior = hit & (px > x_lo[None, :]) & (px < x_hi[None, :]) \
+                       & (py > y_lo[:, None]) & (py < y_hi[:, None])
+        ref_i[r0:r1 + 1, c0:c1 + 1] |= interior
+
+    assert got_e.sum() > 0 and got_i.sum() > 0
+    assert np.array_equal(got_e, ref_e)
+    assert np.array_equal(got_i, ref_i)
