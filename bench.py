@@ -57,17 +57,24 @@ def main() -> None:
     import __spark_entry__ as E
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
 
     def timed(name, fn, runs: int = runs):
         """Best-of-N wall time: the first run pays JVM JIT warmup + Python
         worker spin-up, which would otherwise dominate and mask scaling
-        (and best-of damps CPU-steal noise on virtualized hosts)."""
-        best, out = float("inf"), None
+        (and best-of damps CPU-steal noise on virtualized hosts). All run
+        times are reported as [min, median, max] in "spread" so
+        environmental noise is visible round-over-round."""
+        samples, out = [], None
         for _ in range(runs):
             t0 = time.perf_counter()
             out = fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        spread[name] = [round(samples[0], 3),
+                        round(samples[len(samples) // 2], 3),
+                        round(samples[-1], 3)]
         return out
 
     # materialize the pages table once (parquet-like input working set);
@@ -159,6 +166,7 @@ def main() -> None:
         "value": pages_per_sec,
         "unit": "pages/sec",
         "queries": timings,
+        "spread_min_med_max": spread,
         "sf": sf,
         "n_pages": n_pages,
         "cpus": cpus,
