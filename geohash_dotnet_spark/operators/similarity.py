@@ -33,15 +33,22 @@ def _norm(a):
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _cosine_fp6(a_expr, b_expr):
+    """fp6 cosine between two array expressions (each cast to double) —
+    the one expression shape every cosine in this module uses, so the
+    IEEE addition order (left-to-right aggregate) is identical across
+    column/column, column/literal, and the DuckDB twins."""
+    a = F.transform(a_expr, lambda x: x.cast("double"))
+    b = F.transform(b_expr, lambda x: x.cast("double"))
+    cos = _dot(a, b) / (_norm(a) * _norm(b))
+    # exact fixed-point 6dp (cross-engine round() ties differ by 1 ulp)
+    return F.floor(cos * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def with_cosine(df: DataFrame, vec_a: str, vec_b: str,
                 out: str = "cosine") -> DataFrame:
     """cosine(vec_a, vec_b) as a native column (arrays cast to double)."""
-    a = F.transform(F.col(vec_a), lambda x: x.cast("double"))
-    b = F.transform(F.col(vec_b), lambda x: x.cast("double"))
-    cos = _dot(a, b) / (_norm(a) * _norm(b))
-    # exact fixed-point 6dp (cross-engine round() ties differ by 1 ulp)
-    return df.withColumn(
-        out, F.floor(cos * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0))
+    return df.withColumn(out, _cosine_fp6(F.col(vec_a), F.col(vec_b)))
 
 
 def cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
@@ -156,20 +163,44 @@ def ivf_cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
 
     The demo quantizer takes the ``n_centroids`` lowest-id vectors as
     centroids (deterministic and SQL-replayable; swap in offline k-means
-    centroids in production — the dataflow is identical). Every vector
-    is assigned to its max-fp6-cosine centroid (ties -> lowest centroid
-    id) via a broadcast N x C join; queries probe their ``nprobe`` best
-    centroids; candidates rerank with the exact fp6 cosine.
+    centroids in production — the dataflow is identical). Every corpus
+    vector is assigned to its max-fp6-cosine centroid (ties -> lowest
+    centroid id) in ONE shuffle-free projection: the centroids are a
+    driver-side artifact (C rows — in production they come from offline
+    k-means anyway), folded in as literal arrays, and the argmax is a
+    native ``array_max`` over (cosine, -cid) structs — no N x C
+    cross-join, no window, no Exchange (asserted in
+    tests/test_plan_shapes.py::test_ivf_assignment_is_shuffle_free).
+    Queries probe their ``nprobe`` best centroids (window over the tiny
+    query table only); candidates rerank with the exact fp6 cosine.
 
-    Scale shape: the corpus is touched by one narrow broadcast join
-    (assignment) plus one equi-join on the centroid id — no cross join
-    of the big side with the queries; inverted lists shrink the rerank
-    to ~nprobe/n_centroids of the corpus. Deterministic end-to-end, so
-    the DuckDB twin (ivf_cosine_topk_sql) replays it exactly.
+    Scale shape: the corpus is touched by one narrow projection
+    (assignment) plus one broadcast equi-join on the centroid id — no
+    cross join or shuffle of the big side anywhere before the final
+    output-bounded rank; inverted lists shrink the rerank to
+    ~nprobe/n_centroids of the corpus. Deterministic end-to-end, so the
+    DuckDB twin (ivf_cosine_topk_sql) replays it exactly.
     """
     cents = (emb_df.filter(F.col(id_col) < n_centroids)
              .select(F.col(id_col).alias("cid"),
                      F.col(vec_col).alias("c_vec")))
+    # bounded collect: exactly n_centroids rows — the quantizer codebook
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cid"])
+
+    def _lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    # struct max picks highest cosine first, then highest -cid = lowest
+    # cid — the same tie rule as the window form and the SQL twin. A
+    # null cosine (null/ragged vector) sorts below any non-null struct,
+    # and the all-null case degrades to the lowest cid — also identical.
+    structs = [
+        F.struct(
+            _cosine_fp6(F.col(vec_col), _lit_vec(r["c_vec"])).alias("c"),
+            F.lit(-int(r["cid"])).cast("long").alias("nc"))
+        for r in cent_rows]
+    tagged = (emb_df.select(id_col, vec_col)
+              .withColumn("cid", -F.array_max(F.array(*structs))["nc"]))
 
     def assign(df, key, vec, rank_limit, out):
         scored = with_cosine(df.crossJoin(F.broadcast(cents)), vec, "c_vec",
@@ -180,7 +211,6 @@ def ivf_cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
                 .filter(F.col("__r") <= rank_limit)
                 .select(key, vec, F.col("cid").alias(out)))
 
-    tagged = assign(emb_df.select(id_col, vec_col), id_col, vec_col, 1, "cid")
     probes = assign(queries_df.select(q_id, q_vec), q_id, q_vec, nprobe, "cid")
     cand = tagged.join(F.broadcast(probes), on="cid", how="inner")
     scored = with_cosine(cand, vec_col, q_vec, "cosine")

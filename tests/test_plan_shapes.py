@@ -108,6 +108,26 @@ def test_bucketed_layout_eliminates_exchanges(spark, sf_small, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_bucket_stats")
 
 
+def test_ivf_assignment_is_shuffle_free(spark, sf_med):
+    """IVF centroid assignment must be a single projection over the corpus
+    — no Exchange keyed by the vector id (the round-2 form shuffled the
+    N x C cross-join through a window), and the probe join must broadcast
+    so the corpus side never shuffles before the output-bounded rank."""
+    from geohash_dotnet_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id").isin(3, 7))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    plan = _executed(ivf_cosine_topk(emb, q, k=5))
+    assert "Exchange hashpartitioning(vec_id" not in plan, plan[:4000]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only corpus-wide shuffle left is the final q_id rank window +
+    # the tiny probe-side window: no more than 2 exchanges in total
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:4000]
+
+
 def test_whole_stage_codegen_covers_encode(spark, sf_small):
     pg = with_geohash(pages(spark, sf_small), "lat", "lon", 7)
     plan = _executed(pg.select("gh"))
