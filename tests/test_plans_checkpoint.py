@@ -72,6 +72,52 @@ def test_checkpoint_invalidates_on_input_change(spark, sf_small, tmp_path):
     assert r["written"] == b
 
 
+def test_checkpointed_write_runs_o1_source_scans(spark, sf_small, tmp_path):
+    """A 4-bucket write must run O(1) Spark jobs (stats pre-pass + one
+    partitionBy write + one read-back agg), not O(buckets) — counted via
+    the status tracker on a dedicated job group."""
+    sc = spark.sparkContext
+
+    def probe(n_buckets, out):
+        df = _tagged(spark, sf_small).withColumn(
+            "bucket", (F.xxhash64("url") % n_buckets + n_buckets) % n_buckets)
+        group = f"ckpt_o1_{n_buckets}"
+        sc.setJobGroup(group, "checkpointed_write job-count probe")
+        try:
+            r = checkpointed_write(df, out, "bucket",
+                                   list(range(n_buckets)), "url")
+        finally:
+            sc.setJobGroup(None, None)
+        assert sorted(r["written"]) == list(range(n_buckets))
+        assert read_checkpointed(spark, out).count() == df.count()
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j2 = probe(2, str(tmp_path / "o1_2"))
+    j8 = probe(8, str(tmp_path / "o1_8"))
+    # old per-bucket form: 1 stats + N x (write + read-back) jobs; the
+    # single-scan form's job count must not grow with the bucket count
+    assert j8 == j2, f"{j2} jobs at 2 buckets vs {j8} at 8"
+    assert j2 <= 9, f"{j2} jobs at 2 buckets"
+
+
+def test_checkpoint_bucket_key_type_mismatch_is_not_silent(spark, sf_small,
+                                                           tmp_path):
+    """ADVICE r2: an int bucket column matched against string bucket keys
+    must still fingerprint correctly (str-normalized on both sides) —
+    never write real rows under an empty '0:None' fingerprint."""
+    df = _tagged(spark, sf_small).withColumn(
+        "bucket", (F.xxhash64("url") % 2 + 2) % 2)  # int column: {0, 1}
+    out = str(tmp_path / "mix")
+    r = checkpointed_write(df, out, "bucket", ["0", "1"], "url")
+    assert sorted(r["written"]) == ["0", "1"]
+    for m in r["metrics"].values():
+        assert m["rows"] > 0
+        assert m["input_fingerprint"] != "0:None"
+    # resume with the int-typed key list: same normalized fingerprints
+    r2 = checkpointed_write(df, out, "bucket", [0, 1], "url")
+    assert sorted(r2["skipped"]) == [0, 1] and not r2["written"]
+
+
 def test_checkpoint_then_bucket_composition(spark, sf_small, tmp_path):
     """Resumable checkpointed write composed with the bucketed layout:
     manifests commit per slice, and the final bucketed table aggregates
