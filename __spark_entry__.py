@@ -357,6 +357,19 @@ def q_ngram_jaccard(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """Near-dup pairs by 3-gram Jaccard with the production
+    document-frequency cap (max_df=0.05): shingles present in more than
+    5% of the corpus are dropped from the shingle universe before the
+    self-join, bounding the hot-shingle quadratic that makes the exact
+    form pairs-quadratic at scale. Jaccard is recomputed over the capped
+    shingle space; the DuckDB twin replays the cap, so the capped
+    semantics are value-verified end-to-end."""
+    return (ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5,
+                                max_df=0.05)
+            .orderBy("id_a", "id_b"))
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs, candidate-restricted exact verify.
 
@@ -581,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_covering": q_compress_covering,
         "exact_dedup_groups": q_exact_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
@@ -774,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({pages_sql(REP)}) GROUP BY 1 HAVING count(*) > 1 "
             f"ORDER BY fingerprint",
         "ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
+        "ngram_jaccard_capped": ngram_jaccard_sql(threshold=0.5, max_df=0.05),
         "minhash_pairs": minhash_lsh_sql(threshold=0.5),
         "simhash_pairs": simhash_sql(max_hamming=3),
         "multimodal_features": media_features_sql(pages_sql(REP), 50),

@@ -272,13 +272,19 @@ def _centers_inside(rings, cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
                 x_int = ax + (cy - ay) * (bx - ax) / (by - ay)
                 inside ^= crosses_row[:, None] & (cx[None, :] < x_int[:, None])
             continue
-        slope = (x2v - x1v) / (y2v - y1v)
+        dx = (x2v - x1v)[:, None]
+        dy = (y2v - y1v)[:, None]
         # row blocks keep the (E, Rb) intermediates bounded (~16 MB)
         r_block = max(1, 2_000_000 // n_edges)
         for r0 in range(0, n_rows, r_block):
             ys = cy[r0:r0 + r_block]
             crosses = (y1v[:, None] > ys[None, :]) != (y2v[:, None] > ys[None, :])
-            x_int = x1v[:, None] + (ys[None, :] - y1v[:, None]) * slope[:, None]
+            # same IEEE association as the small-edge path above
+            # (ax + (cy - ay) * (bx - ax) / (by - ay)): multiply THEN
+            # divide, never a precomputed slope — a cell center within
+            # 1 ulp of an edge intersection must classify identically
+            # in both regimes
+            x_int = x1v[:, None] + (ys[None, :] - y1v[:, None]) * dx / dy
             for rr in range(ys.shape[0]):
                 xs = x_int[crosses[:, rr], rr]
                 if xs.size:

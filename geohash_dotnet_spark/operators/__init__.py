@@ -23,6 +23,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    release_dedup_cache,
     simhash_bits,
     simhash_near_pairs,
 )

@@ -68,12 +68,20 @@ class CoverageMetrics:
     def cancellable(self, description: str = "coverage job"):
         """Run the enclosed Spark action under this metrics object's job
         group so cancel() can abort it (CancellationToken analogue)."""
+        # save/restore ALL three thread-local properties setJobGroup sets —
+        # clearing only the group id would leak the stale description into
+        # the UI and interrupt-on-cancel behavior into unrelated jobs on
+        # this driver thread
+        props = ("spark.jobGroup.id", "spark.job.description",
+                 "spark.job.interruptOnCancel")
+        saved = {p: self._sc.getLocalProperty(p) for p in props}
         self._sc.setJobGroup(self.job_group, description,
                              interruptOnCancel=True)
         try:
             yield self
         finally:
-            self._sc.setLocalProperty("spark.jobGroup.id", None)
+            for p in props:
+                self._sc.setLocalProperty(p, saved[p])
 
     def cancel(self) -> None:
         """Abort every job started under cancellable() (thread-safe)."""
@@ -91,13 +99,24 @@ class CoverageMetrics:
                 "cells_emitted": self.cells_emitted.value}
 
 
-def plan_polygon_tasks(polygons: list[tuple[str, str, int, str]]) -> list[dict]:
+def plan_polygon_tasks(polygons: list[tuple[str, str, int, str]],
+                       max_candidate_cells: int = 10_000_000_000) -> list[dict]:
     """Driver-side prep: (polygon_id, wkt, precision, criteria) -> task rows.
 
     Each task covers one antimeridian part restricted to a latitude-row
     chunk sized to ~TASK_TARGET_CELLS candidate cells.
+
+    ``max_candidate_cells`` is the admission guard for the whole batch —
+    the distributed analogue of the circle kernel's per-query ceiling
+    (kernels/circle.py:88, mirroring /root/reference/src/RadiusHasher.cs:
+    122-127): an absurd precision request (a continent at p10 is ~10^13
+    candidate cells -> ~10^8 tasks) is rejected at plan time with an
+    actionable message instead of flooding the scheduler. The default
+    admits ~10^5 tasks at TASK_TARGET_CELLS sizing — roomy for a real
+    cluster, still finite.
     """
     tasks = []
+    total_candidates = 0
     for polygon_id, wkt, precision, criteria in polygons:
         for rings in PK.parse_wkt(wkt):
             if abs(PK.ring_area(rings[0])) == 0.0:
@@ -105,6 +124,15 @@ def plan_polygon_tasks(polygons: list[tuple[str, str, int, str]]) -> list[dict]:
             for part_idx, part in enumerate(PK.split_antimeridian(rings)):
                 lat0, lat1, lng0, lng1 = PK.part_grid_range(part, precision)
                 n_cols = max(lng1 - lng0, 1)
+                total_candidates += max(lat1 - lat0, 1) * n_cols
+                if total_candidates > max_candidate_cells:
+                    raise ValueError(
+                        f"Coverage batch would examine more than "
+                        f"{total_candidates:,} candidate cells (limit "
+                        f"{max_candidate_cells:,}; polygon {polygon_id!r} at "
+                        f"precision {precision} crossed it). Reduce precision "
+                        f"or split the batch, or raise max_candidate_cells."
+                    )
                 rows_per_task = max(1, TASK_TARGET_CELLS // n_cols)
                 # serialize rings as flat coordinate lists
                 ser = [r.ravel().tolist() for r in part]

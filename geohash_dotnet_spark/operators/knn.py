@@ -40,9 +40,19 @@ from ..kernels.distance import precision_for_radius
 def knn_join(spark: SparkSession, points_df: DataFrame, queries: pd.DataFrame,
              k: int, initial_radius_m: float = 2_000.0, max_rounds: int = 10,
              lat: str = "lat", lon: str = "lon", gh_col: str = "gh",
-             precision: int | None = None) -> DataFrame:
+             precision: int | None = None,
+             driver_cover_threshold: int = 64) -> DataFrame:
     """queries: pandas DataFrame (query_id, lat, lon). Returns a DataFrame
-    (query_id, rank, dist_m, + point columns) with rank 1..k by distance."""
+    (query_id, rank, dist_m, + point columns) with rank 1..k by distance.
+
+    Covering placement: with few unsettled queries the ring coverings are
+    built by the driver-side circle kernel (cheap, no extra job). Above
+    ``driver_cover_threshold`` unsettled queries, a round's coverings are
+    built on EXECUTORS via :func:`cover_circles` — for a query *table*
+    (thousands of rows) the per-query kernel calls would otherwise
+    serialize on the driver and dominate the round. The covering is still
+    broadcast into the points join (its size is bounded by the circle
+    kernel's per-query cell ceiling x |remaining|, not by the corpus)."""
     remaining = queries.copy()
 
     # tag once at the finest precision any round will use; coarser rounds
@@ -59,13 +69,35 @@ def knn_join(spark: SparkSession, points_df: DataFrame, queries: pd.DataFrame,
         p = precision or precision_for_radius(radius)
         p = max(min(p, p_fine), 2)
 
-        cov_rows = []
-        for q in remaining.itertuples(index=False):
-            cells = cover_circle(float(q.lat), float(q.lon), radius, p, "intersects")
-            cov_rows.append(pd.DataFrame({
-                "query_id": q.query_id, "q_lat": q.lat, "q_lon": q.lon,
-                "__ghr": cells}))
-        cov = spark.createDataFrame(pd.concat(cov_rows, ignore_index=True))
+        if len(remaining) > driver_cover_threshold:
+            # distributed coverings: one executor-side kernel call per
+            # query (cover_circles mapInPandas), joined back to query
+            # coords — no driver-side per-query loop
+            from .coverage import cover_circles
+            qdf = spark.createDataFrame(
+                remaining[["query_id", "lat", "lon"]])
+            circles = qdf.select(
+                F.col("query_id").alias("circle_id"),
+                F.col("lat"), F.col("lon"),
+                F.lit(float(radius)).alias("radius_m"),
+                F.lit(int(p)).cast("int").alias("precision"),
+                F.lit("intersects").alias("criteria"))
+            cov = (cover_circles(spark, circles)
+                   .withColumnRenamed("circle_id", "query_id")
+                   .join(F.broadcast(qdf.select(
+                       "query_id",
+                       F.col("lat").alias("q_lat"),
+                       F.col("lon").alias("q_lon"))), on="query_id")
+                   .withColumnRenamed("cell", "__ghr"))
+        else:
+            cov_rows = []
+            for q in remaining.itertuples(index=False):
+                cells = cover_circle(float(q.lat), float(q.lon), radius, p,
+                                     "intersects")
+                cov_rows.append(pd.DataFrame({
+                    "query_id": q.query_id, "q_lat": q.lat, "q_lon": q.lon,
+                    "__ghr": cells}))
+            cov = spark.createDataFrame(pd.concat(cov_rows, ignore_index=True))
 
         cand = (tagged.withColumn("__ghr", F.substring(gh_col, 1, p))
                 .join(F.broadcast(cov), on="__ghr", how="inner")

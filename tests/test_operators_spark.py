@@ -21,6 +21,7 @@ from geohash_dotnet_spark.operators import (
     lsh_cosine_topk,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    release_dedup_cache,
     salted_join,
     simhash_near_pairs,
     spatial_join,
@@ -183,6 +184,45 @@ def test_knn_matches_brute_force(spark, sf_small):
         sub = got[got.query_id == q.query_id]
         assert len(sub) == k
         assert set(sub.url) == want, q.query_id
+
+
+def test_knn_query_table_uses_distributed_covering(spark, sf_small,
+                                                   monkeypatch):
+    """A query TABLE (hundreds of rows) must build its ring coverings on
+    executors (cover_circles), never via the driver-side per-query kernel
+    loop — the driver kernel is monkeypatched to raise, so any driver-side
+    call fails the test. Values still match brute force."""
+    import geohash_dotnet_spark.operators.knn as knn_mod
+
+    pg = pages(spark, sf_small, replicate=8).cache()
+    rng = np.random.default_rng(7)
+    nq = 150
+    queries = pd.DataFrame({
+        "query_id": [f"q{i}" for i in range(nq)],
+        "lat": rng.uniform(-60, 60, nq),
+        "lon": rng.uniform(-179, 179, nq),
+    })
+
+    def _boom(*a, **kw):
+        raise AssertionError("driver-side cover_circle called for a "
+                             "query table above the threshold")
+
+    # the executor path re-imports the kernels module inside Python
+    # workers, so this patch only intercepts DRIVER-side calls;
+    # threshold=0 forces the distributed path in EVERY round (with the
+    # default threshold, late rounds with few unsettled queries would
+    # legitimately drop back to the driver loop)
+    monkeypatch.setattr(knn_mod, "cover_circle", _boom)
+    got = knn_join(spark, pg, queries, k=3, initial_radius_m=500_000,
+                   driver_cover_threshold=0).toPandas()
+
+    pdf = pg.select("url", "lat", "lon").toPandas()
+    from geohash_dotnet_spark.kernels import haversine_m as hm
+    for q in queries.sample(10, random_state=3).itertuples(index=False):
+        d = hm(q.lat, q.lon, pdf.lat.values, pdf.lon.values)
+        want = set(pdf.url.values[np.argsort(d, kind="stable")[:3]])
+        sub = got[got.query_id == q.query_id]
+        assert len(sub) == 3 and set(sub.url) == want, q.query_id
 
 
 # ---------------------------------------------------------------------------
@@ -598,3 +638,85 @@ def test_text_byte_identical_through_spatial_path(spark, sf_small):
     same = cmp.filter(
         F.md5(F.encode("text", "utf-8")) == F.md5(F.encode("src_text", "utf-8")))
     assert same.count() == n
+
+
+def test_ngram_max_df_bounds_hot_shingle(spark):
+    """A universal shingle planted in every document must be dropped by
+    max_df before the self-join (bounded candidates), with Jaccard
+    recomputed over the capped shingle space — value-parity vs the
+    capped DuckDB twin is exercised separately at sf scale."""
+    import duckdb
+
+    from geohash_dotnet_spark.operators.dedup import ngram_jaccard_sql
+
+    # 40 docs, all sharing the universal prefix; two planted near-dups
+    rows = [(i, "common shared header " + f"unique body {i} tail {i * 7}")
+            for i in range(40)]
+    rows[1] = (1, rows[0][1])  # exact dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.3, max_df=0.25)
+    got = sorted(map(tuple, capped.collect()))
+    con = duckdb.connect()
+    con.register("docs_pd", docs.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_pd")
+    exp = sorted(map(tuple, con.execute(
+        ngram_jaccard_sql(threshold=0.3, max_df=0.25)).fetchall()))
+    assert got == exp and (0, 1) in {(a, b) for a, b, *_ in got}
+
+    # the universal 'common shared header' shingle is in all 40 docs >
+    # 25% cap -> it feeds no candidates: docs with nothing else in
+    # common must produce zero intersect rows
+    uncapped_pairs = ngram_jaccard_pairs(docs, threshold=0.0).count()
+    capped_pairs = ngram_jaccard_pairs(docs, threshold=0.0, max_df=0.25).count()
+    assert uncapped_pairs == 40 * 39 // 2  # universal shingle: all pairs
+    assert capped_pairs == 1  # only the planted exact dup survives
+
+
+def test_simhash_degenerate_bucket_stays_linear(spark):
+    """1k documents with identical (empty) text collapse to one distinct
+    fingerprint: the bucket self-join must see ONE row for the group
+    (linear candidates), while the output still contains every true
+    hamming-0 pair (output-bounded expansion)."""
+    from geohash_dotnet_spark.operators.dedup import (
+        _simhash_fp_candidates, simhash_bits)
+
+    n_empty = 1000
+    rows = [(i, "") for i in range(n_empty)]
+    rows += [(n_empty, "alpha beta gamma delta"),
+             (n_empty + 1, "alpha beta gamma delta epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = simhash_bits(docs).select("simhash").distinct()
+    n_fp = fps.count()
+    assert n_fp <= 3  # 1k empties share one fingerprint
+    cand = _simhash_fp_candidates(fps, max_hamming=3).count()
+    # candidates over distinct fingerprints: at most C(n_fp, 2), never
+    # quadratic in the 1k-document group
+    assert cand <= n_fp * (n_fp - 1) // 2
+
+    pairs = simhash_near_pairs(docs, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every empty-empty pair is a true hamming-0 result
+    assert sum(1 for a, b in got if a < n_empty and b < n_empty) \
+        == n_empty * (n_empty - 1) // 2
+    release_dedup_cache()
+
+
+def test_release_dedup_cache_unpins_storage(spark, sf_med):
+    """After materializing minhash/simhash outputs, release_dedup_cache()
+    must leave zero persistent RDDs (round-2 ADVICE: the shingle persist
+    previously pinned executor storage until session shutdown)."""
+    def persistent_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(m.keySet().toArray())
+
+    release_dedup_cache()  # drop anything earlier tests registered
+    baseline = persistent_ids()
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+    minhash_lsh_pairs(docs, threshold=0.5).count()
+    simhash_near_pairs(docs, max_hamming=3).count()
+    assert len(persistent_ids() - baseline) >= 2
+    released = release_dedup_cache()
+    assert released >= 2
+    assert persistent_ids() == baseline

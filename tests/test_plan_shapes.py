@@ -133,3 +133,20 @@ def test_whole_stage_codegen_covers_encode(spark, sf_small):
     plan = _executed(pg.select("gh"))
     # toString renders whole-stage-codegen stages as "*(n) Op"
     assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_quality_projection_pinned_form(spark, sf_small):
+    """with_quality evaluates as an interpreted Project (higher-order
+    functions are CodegenFallback — inherent, not a bug), so the scale
+    property is keeping that interpreted expression SMALL on the common
+    path. Pin the optimized form PLANS.md documents: exactly ONE
+    aggregate() traversal of the token array (the packed bit-field
+    accumulator), and the union stopword membership test rewritten by
+    OptimizeIn to a single hash-set INSET (four per-language In chains
+    would stay linear scans)."""
+    from geohash_dotnet_spark.operators import with_quality
+
+    q = with_quality(pages(spark, sf_small))
+    opt = _optimized(q)
+    assert opt.count("aggregate(") == 1, "packed path must traverse once"
+    assert opt.count("INSET") == 1, "union stopword test must be an InSet"
