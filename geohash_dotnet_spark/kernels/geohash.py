@@ -45,6 +45,16 @@ _OFFSETS = {
     "n": (1, 0), "ne": (1, 1), "e": (0, 1), "se": (-1, 1),
     "s": (-1, 0), "sw": (-1, -1), "w": (0, -1), "nw": (1, -1),
 }
+# Accept the reference Direction enum names too (src/Direction.cs:11-39):
+# Neighbor(hash, Direction.NorthEast) callers write "northeast"/"north_east".
+_OFFSETS.update({
+    "north": _OFFSETS["n"], "northeast": _OFFSETS["ne"],
+    "east": _OFFSETS["e"], "southeast": _OFFSETS["se"],
+    "south": _OFFSETS["s"], "southwest": _OFFSETS["sw"],
+    "west": _OFFSETS["w"], "northwest": _OFFSETS["nw"],
+    "north_east": _OFFSETS["ne"], "south_east": _OFFSETS["se"],
+    "south_west": _OFFSETS["sw"], "north_west": _OFFSETS["nw"],
+})
 
 
 def normalize_longitude(lng):
@@ -166,7 +176,10 @@ def _strs_to_byte_matrix(geohashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     codes is (n, max_len) int8 of base-32 digit values, -1 padded.
     Raises ValueError on invalid input (src/Geohasher.cs:225-238).
     """
-    gh = np.asarray(geohashes, dtype=object)
+    # atleast_1d: a single geohash string (the reference's Decode(string)
+    # shape, src/Geohasher.cs:108) arrives as a 0-d object array — treat
+    # it as a 1-element batch instead of failing iteration
+    gh = np.atleast_1d(np.asarray(geohashes, dtype=object))
     lengths = np.fromiter((len(g) if isinstance(g, str) else 0 for g in gh),
                           dtype=np.int64, count=len(gh))
     if (lengths == 0).any():
@@ -252,7 +265,9 @@ def neighbor(geohashes, direction: str) -> np.ndarray:
     """Neighbor in one direction; pole bounce + antimeridian wrap
     via re-encode (src/Geohasher.cs:203-210)."""
     d_lat, d_lng = _OFFSETS[direction.lower()]
-    gh = np.asarray(geohashes, dtype=object)
+    # atleast_1d: accept a single geohash string like the reference's
+    # GetNeighbour(string) (src/Geohasher.cs:203)
+    gh = np.atleast_1d(np.asarray(geohashes, dtype=object))
     min_lat, min_lng, max_lat, max_lng = bounding_box(gh)
     height = max_lat - min_lat
     width = max_lng - min_lng

@@ -168,6 +168,21 @@ def test_pole_bounce():
     assert lat[0] < 0
 
 
+def test_neighbor_accepts_reference_enum_names():
+    # src/Direction.cs:11-39 names (North, NorthEast, ...) alias the short codes
+    for full, short in [("north", "n"), ("northeast", "ne"), ("NorthEast", "ne"),
+                        ("south_west", "sw"), ("East", "e")]:
+        assert K.neighbor(["dr5reg"], full)[0] == K.neighbor(["dr5reg"], short)[0]
+
+
+def test_neighbor_scalar_string_input():
+    # reference Decode/Neighbor take a single string (src/Geohasher.cs:108)
+    assert K.neighbor("dr5reg", "n")[0] == K.neighbor(["dr5reg"], "n")[0]
+    lat, lng = K.decode("dr5reg")
+    lat2, lng2 = K.decode(["dr5reg"])
+    assert lat[0] == lat2[0] and lng[0] == lng2[0]
+
+
 def test_neighbors_all_eight():
     result = K.neighbors(["dr5reg"])
     assert set(result.keys()) == set(K.DIRECTIONS)
