@@ -720,3 +720,20 @@ def test_release_dedup_cache_unpins_storage(spark, sf_med):
     released = release_dedup_cache()
     assert released >= 2
     assert persistent_ids() == baseline
+
+
+def test_read_table_parquet_and_gated_formats(spark, sf_small):
+    from geohash_dotnet_spark.sources.tables import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    assert docs.count() > 0 and "doc_id" in docs.columns
+
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_table(spark, "x", fmt="avro-ish")
+    # no iceberg runtime jar in this environment: the error must be the
+    # actionable runtime-jar hint, not a raw ClassNotFoundException
+    with pytest.raises(ValueError, match="runtime jar"):
+        read_table(spark, f"{sf_small}/documents.parquet", fmt="iceberg")
+    # catalog identifier without a configured catalog: actionable hint too
+    with pytest.raises(ValueError, match="configured iceberg catalog"):
+        read_table(spark, "cat.db.pages", fmt="iceberg")
