@@ -16,6 +16,7 @@ from .spatial_join import (  # noqa: F401
     tile_stats,
 )
 from .grid import cells_to_wkt, gh_grid, pick_grid_precision  # noqa: F401
+from .sketches import approx_tile_stats  # noqa: F401
 from .knn import knn_join  # noqa: F401
 from .dedup import (  # noqa: F401
     duplicate_groups,

@@ -1,0 +1,42 @@
+"""Sketch-based tile statistics: the 100 TB path for distinct counts.
+
+``tile_stats`` (operators/spatial_join.py) computes exact
+``count(distinct url)`` per tile. Catalyst plans that as Expand +
+two-phase aggregation: every page row is duplicated per distinct-agg
+group and the FIRST shuffle carries (tile, url) pairs — at 100 TB the
+exchange is corpus-sized. The HyperLogLog++ form here shuffles only
+fixed-size sketch buffers (one per tile per map task), cutting the
+exchange from O(rows) to O(tiles): ``approx_count_distinct`` partial
+sketches merge associatively map-side like any other partial agg.
+
+rsd=0.05 (Spark's default) keeps the sketch at ~1.5 KB/tile; rel-error
+is ~1.04/sqrt(2^p). The pytest gate asserts observed error against the
+configured rsd on real data, and the plan test asserts the Expand node
+is gone and exactly one exchange remains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .spatial_join import tag_pages
+
+
+def approx_tile_stats(pages_df: DataFrame, precision: int,
+                      rsd: float = 0.05, prefix_len: int | None = None,
+                      gh_col: str = "gh") -> DataFrame:
+    """Per-tile page counts with HLL++ approximate distinct-url counts.
+
+    Same output shape as ``tile_stats`` (tile, n_pages, n_urls); n_urls
+    is approximate within ``rsd`` relative standard deviation. Use this
+    form whenever the distinct count feeds a threshold or a dashboard
+    rather than an exact invariant.
+    """
+    tagged = pages_df if gh_col in pages_df.columns else \
+        tag_pages(pages_df, precision, out=gh_col)
+    key = F.substring(F.col(gh_col), 1, prefix_len) if prefix_len \
+        else F.col(gh_col)
+    return (tagged.groupBy(key.alias("tile"))
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.approx_count_distinct("url", rsd).alias("n_urls")))
