@@ -99,6 +99,14 @@ CIRCLE = dict(lat=40.7128, lon=-74.0060, radius_m=3_000_000.0, precision=2)
 KNN_QUERIES = [("q_berlin", 52.52, 13.405), ("q_sydney", -33.87, 151.21),
                ("q_lima", -12.05, -77.04)]
 KNN_K = 10
+# deterministic 96-query table: above knn_join's driver_cover_threshold
+# (64), so round-1 ring coverings are built on EXECUTORS via cover_circles
+# — the distributed path is under the driver's value gate, not just pytest
+KNN_TABLE_QUERIES = [(f"qt_{i:03d}",
+                      float(-58 + (i * 37) % 117),
+                      float(-170 + (i * 73) % 341))
+                     for i in range(96)]
+KNN_TABLE_K = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,6 +336,18 @@ def q_knn(spark, sf_dir):
     """kNN via cell-ring expansion + window top-k."""
     queries = pd.DataFrame(KNN_QUERIES, columns=["query_id", "lat", "lon"])
     out = knn_join(spark, _pages(spark, sf_dir), queries, k=KNN_K,
+                   initial_radius_m=500_000.0)
+    return (out.select("query_id", "rank", "url",
+                       fp6(F.col("dist_m")).alias("dist_m"))
+            .orderBy("query_id", "rank"))
+
+
+def q_knn_table(spark, sf_dir):
+    """kNN over a query TABLE: executor-side ring coverings (96 queries
+    exceed driver_cover_threshold, so cover_circles builds every round-1
+    covering distributed)."""
+    queries = pd.DataFrame(KNN_TABLE_QUERIES, columns=["query_id", "lat", "lon"])
+    out = knn_join(spark, _pages(spark, sf_dir), queries, k=KNN_TABLE_K,
                    initial_radius_m=500_000.0)
     return (out.select("query_id", "rank", "url",
                        fp6(F.col("dist_m")).alias("dist_m"))
@@ -591,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_refined": q_spatial_join_refined,
         "circle_join": q_circle_join,
         "knn": q_knn,
+        "knn_table": q_knn_table,
         "compress_covering": q_compress_covering,
         "exact_dedup_groups": q_exact_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -633,6 +654,8 @@ def oracle_sql() -> dict[str, str]:
     compress_values = ", ".join(f"('{c}')" for c in compress_expected)
     knn_q = ", ".join(f"('{q}', CAST({la!r} AS DOUBLE), CAST({lo!r} AS DOUBLE))"
                       for q, la, lo in KNN_QUERIES)
+    knn_tq = ", ".join(f"('{q}', CAST({la!r} AS DOUBLE), CAST({lo!r} AS DOUBLE))"
+                       for q, la, lo in KNN_TABLE_QUERIES)
     hav = ("2.0 * 6371008.8 * asin(least(1.0, sqrt("
            "sin(radians(p.lat - q.qlat) / 2) * sin(radians(p.lat - q.qlat) / 2) "
            "+ cos(radians(q.qlat)) * cos(radians(p.lat)) "
@@ -779,6 +802,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT query_id, rank, url, dist_m FROM ("
             f"SELECT *, row_number() OVER (PARTITION BY query_id "
             f"ORDER BY dist_m, url) AS rank FROM d) WHERE rank <= {KNN_K} "
+            f"ORDER BY query_id, rank",
+        "knn_table":
+            f"WITH q(query_id, qlat, qlon) AS (VALUES {knn_tq}), "
+            f"d AS (SELECT q.query_id, p.url, {fp6_sql(hav)} AS dist_m "
+            f"FROM ({pages_sql(REP)}) p CROSS JOIN q) "
+            f"SELECT query_id, rank, url, dist_m FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY dist_m, url) AS rank FROM d) "
+            f"WHERE rank <= {KNN_TABLE_K} "
             f"ORDER BY query_id, rank",
         "compress_covering":
             f"SELECT cell FROM (VALUES {compress_values}) t(cell) ORDER BY cell",
