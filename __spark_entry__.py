@@ -70,6 +70,8 @@ from geohash_dotnet_spark.operators import (  # noqa: E402
     with_token_stats,
 )
 from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
+    dedup_clusters_sql,
+    latest_snapshot_sql,
     minhash_lsh_sql,
     ngram_jaccard_sql,
     simhash_sql,
@@ -585,6 +587,64 @@ def q_top_customers(spark, sf_dir):
             .limit(25))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: MinHash-LSH pair graph -> connected
+    components via hash-to-min label propagation with pointer jumping
+    (O(log diameter) shuffle rounds — the scalable form). Oracle =
+    recursive-CTE transitive closure over the exact relational Jaccard
+    pairs at the same threshold, so the key simultaneously re-asserts
+    LSH recall and verifies the component labels."""
+    from geohash_dotnet_spark.operators import connected_components
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return connected_components(pairs).orderBy("id")
+
+
+def q_latest_snapshot(spark, sf_dir):
+    """Crawl-snapshot dedup: newest (warc_ts, rep) fetch per document via
+    a struct-max aggregation (partial-agg friendly — the exchange carries
+    |docs| rows, not |fetches|; a row_number window would shuffle+sort
+    the full fetch history). Oracle = QUALIFY row_number in DuckDB."""
+    from geohash_dotnet_spark.operators import latest_snapshot
+
+    return latest_snapshot(_pages(spark, sf_dir)).orderBy("doc_id")
+
+
+QK_Z = 6  # zoom for the quadkey driver key (64x64 world grid)
+
+
+def q_quadkey_tiles(spark, sf_dir):
+    """Web-Mercator XYZ tile aggregation keyed by Bing-style quadkey —
+    the second cell-index scheme next to geohash (north rule: "H3/S2-
+    style cell indexes"). Tile row uses the engine-portable boundary-
+    table form (functions/tiles.py) so the DuckDB twin is bit-exact;
+    the closed-form Mercator path is asserted equal in pytest."""
+    from geohash_dotnet_spark.functions.tiles import with_tiles
+
+    t = with_tiles(_pages(spark, sf_dir), "lat", "lon", z=QK_Z)
+    return (t.groupBy("z", "x", "y", "quadkey")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy("quadkey"))
+
+
+def q_url_host_stats(spark, sf_dir):
+    """Per-(host, top directory) crawl stats — the URL-curation rollup
+    every crawl pipeline runs (host-level budgets/blocklists). Pure
+    native regexp_extract + partial-agg counts; the regex is shared
+    verbatim with the DuckDB twin."""
+    p = _pages(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    top = F.regexp_extract("url", r"^https?://[^/]+/([^/]+)/", 1)
+    return (p.select(host.alias("host"), top.alias("top_dir"),
+                     "doc_id", "text")
+            .groupBy("host", "top_dir")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars"))
+            .orderBy("host", "top_dir"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -614,6 +674,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_table": q_knn_table,
         "compress_covering": q_compress_covering,
         "exact_dedup_groups": q_exact_dedup_groups,
+        "dedup_clusters": q_dedup_clusters,
+        "latest_snapshot": q_latest_snapshot,
+        "quadkey_tiles": q_quadkey_tiles,
+        "url_host_stats": q_url_host_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_pairs": q_minhash_pairs,
@@ -640,6 +704,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _cells_in_list(cells) -> str:
     return ", ".join(f"'{c}'" for c in sorted(cells))
+
+
+def _quadkey_tiles_sql() -> str:
+    """DuckDB twin of q_quadkey_tiles: same boundary-table tile math
+    (functions/tiles.py twins), same aggregation."""
+    from geohash_dotnet_spark.functions.tiles import (
+        quadkey_sql, tile_x_sql, tile_y_portable_sql)
+
+    inner = (f"SELECT CAST({QK_Z} AS BIGINT) AS z, "
+             f"{tile_x_sql('lon', QK_Z)} AS x, "
+             f"{tile_y_portable_sql('lat', QK_Z)} AS y, doc_id "
+             f"FROM ({pages_sql(REP)})")
+    return (f"SELECT z, x, y, {quadkey_sql('x', 'y', QK_Z)} AS quadkey, "
+            f"count(*) AS n_pages, count(DISTINCT doc_id) AS n_docs "
+            f"FROM ({inner}) GROUP BY z, x, y ORDER BY quadkey")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -822,6 +901,16 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
         "ngram_jaccard_capped": ngram_jaccard_sql(threshold=0.5, max_df=0.05),
         "minhash_pairs": minhash_lsh_sql(threshold=0.5),
+        "dedup_clusters": dedup_clusters_sql(threshold=0.5),
+        "latest_snapshot": latest_snapshot_sql(pages_sql(REP)),
+        "quadkey_tiles": _quadkey_tiles_sql(),
+        "url_host_stats":
+            f"SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, "
+            f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) AS top_dir, "
+            f"count(*) AS n_pages, count(DISTINCT doc_id) AS n_docs, "
+            f"sum(length(text)) AS total_chars "
+            f"FROM ({pages_sql(REP)}) GROUP BY host, top_dir "
+            f"ORDER BY host, top_dir",
         "simhash_pairs": simhash_sql(max_hamming=3),
         "multimodal_features": media_features_sql(pages_sql(REP), 50),
         "events_windowed_tiles": (lambda inner: (

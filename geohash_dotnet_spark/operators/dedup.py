@@ -527,3 +527,148 @@ FROM sims a JOIN sims b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Connected-component duplicate clusters
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Cluster ids for the duplicate graph: (id, cluster_id, n_members).
+
+    ``cluster_id`` is the minimum doc id reachable from ``id`` through the
+    pair edges — the canonical representative a dedup pipeline keeps.
+    Only ids that appear in at least one pair are emitted (singletons are
+    trivially their own cluster and would dominate the output at scale).
+
+    Algorithm: hash-to-min label propagation WITH pointer jumping
+    (label <- label(label) each round), the DataFrame form of the
+    Hash-to-Min / two-phase MapReduce connected-components family
+    (Rastogi et al., "Finding Connected Components in Map-Reduce").
+    Per round: one shuffle of the edge list keyed by dst + one id-keyed
+    self-join of the label table. Plain propagation needs diameter(G)
+    rounds; the jump step squares the pointer each round, so convergence
+    is O(log diameter) — near-dup clusters are dense (diameter 2-3), so
+    real corpora converge in 2-4 rounds. Each round's label table is
+    persisted and the previous round's released, so executor storage
+    holds exactly one label generation; ``localCheckpoint`` every 8
+    rounds truncates the growing lineage (iterative plans otherwise
+    re-analyze O(rounds) deep trees).
+
+    Raises RuntimeError if not converged after ``max_iter`` rounds —
+    silent partial clustering would merge nothing visibly wrong.
+    """
+    e = pairs.select(F.col(id_a).cast("long").alias("u"),
+                     F.col(id_b).cast("long").alias("v"))
+    edges = _persist(e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct())
+    labels = edges.select(F.col("u").alias("id")).distinct() \
+        .withColumn("label", F.col("id"))
+    labels = labels.persist()
+    converged = False
+    for it in range(max_iter):
+        nbr = (edges.join(labels, edges["v"] == labels["id"])
+               .groupBy("u").agg(F.min("label").alias("nbr_label")))
+        prop = (labels.join(nbr, labels["id"] == nbr["u"], "left")
+                .select(labels["id"].alias("id"),
+                        F.least(labels["label"],
+                                F.coalesce(F.col("nbr_label"),
+                                           labels["label"])).alias("label")))
+        l1, l2 = prop.alias("l1"), prop.alias("l2")
+        jumped = (l1.join(l2, F.col("l1.label") == F.col("l2.id"), "left")
+                  .select(F.col("l1.id").alias("id"),
+                          F.coalesce(F.col("l2.label"),
+                                     F.col("l1.label")).alias("label")))
+        if (it + 1) % 8 == 0:
+            jumped = jumped.localCheckpoint(eager=False)
+        jumped = jumped.persist()
+        changed = (jumped.alias("n")
+                   .join(labels.alias("o"), on="id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        labels.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            f"the duplicate graph has pathological diameter — raise "
+            f"max_iter (pointer jumping needs ~log2(diameter) rounds)")
+    _PERSISTED.append(labels)  # released via release_dedup_cache()
+    edges.unpersist()
+    return (labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+            .withColumn("n_members",
+                        F.count(F.lit(1)).over(
+                            Window.partitionBy("cluster_id"))))
+
+
+def dedup_clusters_sql(inner: str = "documents", id_col: str = "doc_id",
+                       text: str = "text", n: int = 3,
+                       threshold: float = 0.5) -> str:
+    """DuckDB oracle twin of connected_components over the near-dup graph.
+
+    Edges = the exact relational Jaccard pairs at the same threshold (the
+    same oracle that gates minhash_lsh_pairs, so this also re-asserts LSH
+    recall); components = min reachable id via a recursive CTE (min-label
+    transitive closure — fine at oracle scale, the Spark side is the one
+    that has to scale).
+    """
+    return f"""
+WITH RECURSIVE pairs AS ({ngram_jaccard_sql(inner, id_col, text, n, threshold)}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(id, lbl) AS (
+  SELECT u AS id, u AS lbl FROM edges
+  UNION
+  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+), comp AS (
+  SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+)
+SELECT id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM comp ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot dedup: latest crawl per document
+# ---------------------------------------------------------------------------
+
+def latest_snapshot(df: DataFrame, key: str = "doc_id",
+                    ts: str = "warc_ts", tiebreak: str = "rep",
+                    keep: tuple[str, ...] = ("url",)) -> DataFrame:
+    """One row per ``key``: the snapshot with the greatest (ts, tiebreak).
+
+    The Common-Crawl housekeeping query — a crawl table accumulates many
+    fetches per page; training pipelines keep the newest. Implemented as
+    a struct-max aggregation, NOT a row_number window: max(struct(...))
+    gets partial (map-side) aggregation, so each executor reduces its
+    shard to |keys| rows before the exchange — a window would shuffle and
+    sort the full fetch history. At 10^12 rows that is the difference
+    between exchanging |pages| rows and |fetches| rows.
+    """
+    packed = F.max(F.struct(F.col(ts), F.col(tiebreak),
+                            *[F.col(c) for c in keep])).alias("__best")
+    out = df.groupBy(key).agg(packed)
+    cols = [F.col(key), F.col(f"__best.{ts}").alias(ts),
+            F.col(f"__best.{tiebreak}").alias(tiebreak)]
+    cols += [F.col(f"__best.{c}").alias(c) for c in keep]
+    return out.select(*cols)
+
+
+def latest_snapshot_sql(inner: str, key: str = "doc_id",
+                        ts: str = "warc_ts", tiebreak: str = "rep",
+                        keep: tuple[str, ...] = ("url",)) -> str:
+    """DuckDB twin of latest_snapshot (QUALIFY row_number form)."""
+    keep_cols = ", ".join(keep)
+    return (f"SELECT {key}, {ts}, {tiebreak}, {keep_cols} FROM ({inner}) "
+            f"QUALIFY row_number() OVER (PARTITION BY {key} "
+            f"ORDER BY {ts} DESC, {tiebreak} DESC) = 1 ORDER BY {key}")

@@ -737,3 +737,59 @@ def test_read_table_parquet_and_gated_formats(spark, sf_small):
     # catalog identifier without a configured catalog: actionable hint too
     with pytest.raises(ValueError, match="configured iceberg catalog"):
         read_table(spark, "cat.db.pages", fmt="iceberg")
+
+
+# ---------------------------------------------------------------------------
+# connected components + latest snapshot (round 3)
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_islands(spark):
+    from geohash_dotnet_spark.operators import (
+        connected_components, release_dedup_cache)
+
+    # a 10-node path (worst-case diameter for its size: exercises pointer
+    # jumping), a triangle, a 2-cycle duplicate edge, reversed-order ids
+    edges = [(i, i + 1) for i in range(1, 10)]
+    edges += [(100, 101), (101, 102), (102, 100), (200, 201), (201, 200),
+              (301, 300)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(pairs).orderBy("id").collect()
+    lbl = {r.id: r.cluster_id for r in out}
+    size = {r.id: r.n_members for r in out}
+    assert all(lbl[i] == 1 for i in range(1, 11))
+    assert all(size[i] == 10 for i in range(1, 11))
+    assert lbl[100] == lbl[101] == lbl[102] == 100 and size[100] == 3
+    assert lbl[200] == lbl[201] == 200 and size[200] == 2
+    assert lbl[300] == lbl[301] == 300
+    assert release_dedup_cache() >= 1
+
+
+def test_connected_components_empty_and_nonconvergence(spark):
+    from geohash_dotnet_spark.operators import (
+        connected_components, release_dedup_cache)
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    # a 40-node path cannot converge in 1 round even with jumping
+    path = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                 "id_a long, id_b long")
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=1)
+    release_dedup_cache()
+
+
+def test_latest_snapshot_struct_max_matches_window(spark, sf_small):
+    from pyspark.sql import Window
+
+    from geohash_dotnet_spark.operators import latest_snapshot
+    from geohash_dotnet_spark.sources.pages import pages
+
+    p = pages(spark, sf_small, replicate=5)
+    got = latest_snapshot(p).orderBy("doc_id").toPandas()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("warc_ts").desc(), F.col("rep").desc())
+    want = (p.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1").select("doc_id", "warc_ts", "rep", "url")
+            .orderBy("doc_id").toPandas())
+    assert got.equals(want)
