@@ -77,6 +77,7 @@ from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
     simhash_sql,
 )
 from geohash_dotnet_spark.operators.multimodal import media_features_sql  # noqa: E402
+from geohash_dotnet_spark.operators.sessions import sessionize_sql  # noqa: E402
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
     cosine_topk_sql,
@@ -645,6 +646,18 @@ def q_url_host_stats(spark, sf_dir):
             .orderBy("host", "top_dir"))
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization of the events stream (30-min gap): one
+    user-keyed exchange reused by both the lag/cumsum window and the
+    session aggregation; double sums via the exact fixed-point trick so
+    results are addition-order independent across cluster sizes."""
+    from geohash_dotnet_spark.operators import sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_s=1800).orderBy("user_id", "session_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -678,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": q_latest_snapshot,
         "quadkey_tiles": q_quadkey_tiles,
         "url_host_stats": q_url_host_stats,
+        "event_sessions": q_event_sessions,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_pairs": q_minhash_pairs,
@@ -911,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
             f"sum(length(text)) AS total_chars "
             f"FROM ({pages_sql(REP)}) GROUP BY host, top_dir "
             f"ORDER BY host, top_dir",
+        "event_sessions": sessionize_sql(gap_s=1800),
         "simhash_pairs": simhash_sql(max_hamming=3),
         "multimodal_features": media_features_sql(pages_sql(REP), 50),
         "events_windowed_tiles": (lambda inner: (

@@ -38,6 +38,7 @@ from .similarity import (  # noqa: F401
     signature_col_vec,
     with_cosine,
 )
+from .sessions import sessionize  # noqa: F401
 from .text import (  # noqa: F401
     with_fingerprint,
     with_quality,

@@ -653,7 +653,10 @@ def latest_snapshot(df: DataFrame, key: str = "doc_id",
     gets partial (map-side) aggregation, so each executor reduces its
     shard to |keys| rows before the exchange — a window would shuffle and
     sort the full fetch history. At 10^12 rows that is the difference
-    between exchanging |pages| rows and |fetches| rows.
+    between exchanging |pages| rows and |fetches| rows. (Because the
+    winner struct carries strings, Spark plans SortAggregate rather than
+    HashAggregate — the partial_max before the exchange is the
+    load-bearing property, asserted in tests/test_plan_shapes.py.)
     """
     packed = F.max(F.struct(F.col(ts), F.col(tiebreak),
                             *[F.col(c) for c in keep])).alias("__best")

@@ -793,3 +793,31 @@ def test_latest_snapshot_struct_max_matches_window(spark, sf_small):
             .filter("rn = 1").select("doc_id", "warc_ts", "rep", "url")
             .orderBy("doc_id").toPandas())
     assert got.equals(want)
+
+
+def test_sessionize_gap_semantics_and_plan(spark):
+    from geohash_dotnet_spark.operators import sessionize
+
+    rows = [
+        # user 1: two sessions split by a 1801-s gap; sub-second jitter
+        (1, "2024-01-01 00:00:00.100", 1, 1.0),
+        (2, "2024-01-01 00:10:00.200", 1, 2.0),
+        (3, "2024-01-01 00:40:00.300", 1, 4.0),   # 1800.1s gap -> new
+        # user 2: exactly at the gap boundary stays in-session (> not >=)
+        (4, "2024-01-01 00:00:00", 2, 1.5),
+        (5, "2024-01-01 00:30:00", 2, 2.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(ev, gap_s=1800).orderBy("user_id", "session_idx") \
+        .collect()
+    got = [(r.user_id, r.session_idx, r.n_events, r.sum_value)
+           for r in out]
+    assert got == [(1, 1, 2, 3.0), (1, 2, 1, 4.0), (2, 1, 2, 4.0)]
+
+    # one user-keyed exchange total: the window and the aggregation reuse
+    # the same hash partitioning
+    plan = sessionize(ev, gap_s=1800)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -150,3 +150,52 @@ def test_quality_projection_pinned_form(spark, sf_small):
     opt = _optimized(q)
     assert opt.count("aggregate(") == 1, "packed path must traverse once"
     assert opt.count("INSET") == 1, "union stopword test must be an InSet"
+
+
+def test_latest_snapshot_partial_agg_no_window(spark, sf_small):
+    """Snapshot dedup must be a partial+final struct-max aggregation —
+    never a Window (which would shuffle the full fetch history and only
+    then discard losers). The struct carries a string (url), so Spark
+    plans SortAggregate rather than HashAggregate — the load-bearing
+    property is the partial_max BEFORE the exchange: the shuffle carries
+    per-map-partition winners, not fetches."""
+    from geohash_dotnet_spark.operators import latest_snapshot
+
+    plan = _executed(latest_snapshot(pages(spark, sf_small, replicate=3)))
+    assert "partial_max" in plan          # map-side combine
+    assert "Window" not in plan
+    # exactly one agg exchange (hashpartitioning on the key); the round-
+    # robin repartition inside pages() is the only other exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quadkey_tiles_native_single_exchange(spark, sf_small):
+    """The quadkey tile rollup is pure native expressions (no Python
+    evaluation nodes) and one partial+final agg around one Exchange."""
+    from geohash_dotnet_spark.functions.tiles import with_tiles
+
+    t = with_tiles(pages(spark, sf_small), "lat", "lon", z=6)
+    agg = t.groupBy("z", "x", "y", "quadkey").count()
+    plan = _executed(agg)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_connected_components_joins_are_bounded(spark):
+    """Each CC round shuffles edges + labels only — the executed first
+    round must not cross-join or carry a Window over the full edge set."""
+    from geohash_dotnet_spark.operators import (
+        connected_components, release_dedup_cache)
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 200, 2)], "id_a long, id_b long")
+    out = connected_components(pairs)
+    plan = _optimized(out)
+    assert "CartesianProduct" not in plan and "crossJoin" not in plan
+    # the only Window is the final n_members count over cluster_id
+    assert plan.count("Window") <= 1
+    out.count()
+    release_dedup_cache()
