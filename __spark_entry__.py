@@ -77,6 +77,11 @@ from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
     simhash_sql,
 )
 from geohash_dotnet_spark.operators.multimodal import media_features_sql  # noqa: E402
+from geohash_dotnet_spark.operators.pipeline import (  # noqa: E402
+    contamination_sql,
+    repetition_sql,
+    stratified_sample_sql,
+)
 from geohash_dotnet_spark.operators.sessions import sessionize_sql  # noqa: E402
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
@@ -434,6 +439,40 @@ def q_quality(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: word-3-gram overlap of every training
+    doc against the eval split (deterministic doc_id % 17 carve-out),
+    benchmark grams broadcast so the corpus is never shuffled."""
+    from geohash_dotnet_spark.operators import contamination_stats
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    return (contamination_stats(tr, ev, n=3, threshold=0.2)
+            .orderBy("doc_id"))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-word fraction,
+    top-2-gram occupancy) — word-count-shaped aggregation with map-side
+    combine."""
+    from geohash_dotnet_spark.operators import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=2).orderBy("doc_id")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language training-mix sampling: hash-threshold
+    keep rule (zero shuffle, layout-independent row survival)."""
+    from geohash_dotnet_spark.operators import stratified_sample
+
+    rates = {"en": 0.5, "de": 0.25, "es": 0.1}
+    return (stratified_sample(_docs(spark, sf_dir), rates,
+                              default_rate=0.05)
+            .select("doc_id", "lang", "u")
+            .orderBy("doc_id"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over the embeddings table."""
     emb = _emb(spark, sf_dir)
@@ -699,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "quality": q_quality,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "cosine_near_pairs": q_cosine_near_pairs,
@@ -949,6 +991,16 @@ def oracle_sql() -> dict[str, str]:
         "quality":
             f"SELECT doc_id, stopword_ratio, lang_pred, quality_score "
             f"FROM ({quality_sql()}) ORDER BY doc_id",
+        "decontaminate":
+            f"SELECT * FROM ({contamination_sql('documents', eval_pred='doc_id % 17 = 0', n=3, threshold=0.2)}) "
+            f"ORDER BY doc_id",
+        "repetition_stats":
+            f"SELECT * FROM ({repetition_sql('documents', n=2)}) "
+            f"ORDER BY doc_id",
+        "stratified_sample":
+            f"SELECT doc_id, lang, u FROM "
+            f"({stratified_sample_sql('documents', rates={'en': 0.5, 'de': 0.25, 'es': 0.1}, cols='doc_id, lang', default_rate=0.05)}) "
+            f"ORDER BY doc_id",
         "cosine_topk": cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "lsh_cosine_topk": lsh_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "cosine_near_pairs": cosine_near_pairs_sql(0.4),

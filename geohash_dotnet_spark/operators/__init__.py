@@ -38,6 +38,11 @@ from .similarity import (  # noqa: F401
     signature_col_vec,
     with_cosine,
 )
+from .pipeline import (  # noqa: F401
+    contamination_stats,
+    repetition_stats,
+    stratified_sample,
+)
 from .sessions import sessionize  # noqa: F401
 from .text import (  # noqa: F401
     with_fingerprint,

@@ -1,0 +1,266 @@
+"""Training-data pipeline operators: benchmark decontamination,
+Gopher-style repetition statistics, and deterministic stratified
+sampling over the ``documents`` table.
+
+These complete the LLM-data-pipeline surface next to dedup/similarity/
+text: decontamination guards eval integrity (flag training docs whose
+word n-grams overlap a benchmark set), repetition stats are the
+Gopher/C4 quality-filter signals (duplicate-word fraction, top-n-gram
+share), and stratified sampling builds a training mix with per-stratum
+rates reproducibly (hash-threshold, no RNG state).
+
+Every operator is a native-expression DataFrame transform with an exact
+DuckDB oracle twin (the *_sql strings below) so the driver's
+correctness gate verifies values, not just row counts.
+
+Scale notes (100 TB design point):
+  * decontamination joins the corpus' exploded n-grams against the
+    BROADCAST distinct benchmark-gram set, so the only shuffle carries
+    overlap hits (benchmark-sized, tiny), never the corpus;
+  * repetition stats shuffle on (doc, gram) then (doc) with map-side
+    partial aggregation — the classic two-level word-count shape;
+  * stratified sampling is a zero-shuffle projection: keep a row iff
+    its portable 60-bit id-hash, scaled to [0,1), is below the
+    stratum's rate. The same ids survive at any parallelism or data
+    layout, so a 10^12-doc mix is reproducible across cluster runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _shingles, md5_60bit, md5_60bit_sql
+from .text import fp6, fp6_sql
+
+__all__ = [
+    "contamination_stats",
+    "contamination_sql",
+    "repetition_stats",
+    "repetition_sql",
+    "stratified_sample",
+    "stratified_sample_sql",
+]
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_stats(df: DataFrame, eval_df: DataFrame,
+                        id_col: str = "doc_id", text: str = "text",
+                        n: int = 3, threshold: float = 0.2) -> DataFrame:
+    """Per-document benchmark-overlap stats for decontamination.
+
+    For each row of ``df``: ``n_grams`` = distinct word n-grams in the
+    doc, ``n_overlap`` = how many of those also occur anywhere in
+    ``eval_df`` (the benchmark/eval corpus), ``contamination`` =
+    n_overlap / n_grams (0 for gram-less docs), ``contaminated`` = 1
+    when contamination >= threshold. Training pipelines drop or audit
+    the flagged rows before fine-tuning so eval questions don't leak
+    into the train set (the 13-gram rule of GPT-3/PaLM appendixes; n
+    is configurable because the synthetic docs here are short).
+
+    Plan: benchmark grams are deduped and BROADCAST; the corpus is
+    scanned map-only into exploded grams, hash-joined in place, and
+    only the hits (bounded by |corpus grams that appear in the
+    benchmark|) shuffle into the per-doc count. The per-doc gram totals
+    come from the same `_shingles` array without any shuffle, and the
+    final stitch broadcasts the hit counts back. The corpus is never
+    exchanged on a high-cardinality key.
+    """
+    grams = _shingles(F.col(text), n)
+    base = df.select(F.col(id_col).alias("id"),
+                     F.size(grams).alias("n_grams"))
+    eval_grams = (eval_df.select(F.explode(_shingles(F.col(text), n))
+                                 .alias("gram"))
+                  .distinct())
+    doc_grams = df.select(F.col(id_col).alias("id"),
+                          F.explode(grams).alias("gram"))
+    overlap = (doc_grams.join(F.broadcast(eval_grams), "gram")
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_overlap")))
+    ratio = (F.col("n_overlap")
+             / F.greatest(F.col("n_grams"), F.lit(1))).cast("double")
+    return (base.join(F.broadcast(overlap), "id", "left")
+            .withColumn("n_overlap", F.coalesce(F.col("n_overlap"),
+                                                F.lit(0)))
+            .withColumn("contamination", fp6(ratio))
+            .withColumn("contaminated",
+                        (F.col("contamination") >= F.lit(threshold))
+                        .cast("int"))
+            .select(F.col("id").alias(id_col), "n_grams", "n_overlap",
+                    "contamination", "contaminated"))
+
+
+def contamination_sql(inner: str = "documents", eval_pred: str = "",
+                      id_col: str = "doc_id", text: str = "text",
+                      n: int = 3, threshold: float = 0.2) -> str:
+    """DuckDB oracle twin of contamination_stats.
+
+    ``eval_pred`` is a boolean SQL predicate over ``inner`` selecting
+    the benchmark rows (the driver key uses a deterministic id-modulus
+    split so both engines carve identical eval sets).
+    """
+    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
+    shingle = (f"list_distinct(list_transform("
+               f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+               f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))")
+    ratio = "CAST(n_overlap AS DOUBLE) / greatest(n_grams, 1)"
+    return f"""
+WITH evalg AS (
+  SELECT DISTINCT unnest({shingle}) AS gram FROM {inner}
+  WHERE {eval_pred}
+), base AS (
+  SELECT {id_col} AS id, len({shingle}) AS n_grams,
+         unnest({shingle}) AS gram
+  FROM {inner} WHERE NOT ({eval_pred})
+), sizes AS (
+  SELECT {id_col} AS id, len({shingle}) AS n_grams
+  FROM {inner} WHERE NOT ({eval_pred})
+), ov AS (
+  SELECT base.id, count(*) AS n_overlap
+  FROM base JOIN evalg USING (gram) GROUP BY base.id
+)
+SELECT sizes.id AS {id_col}, sizes.n_grams,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       {fp6_sql(ratio.replace('n_overlap', 'COALESCE(ov.n_overlap, 0)')
+                .replace('n_grams', 'sizes.n_grams'))} AS contamination,
+       CAST({fp6_sql(ratio.replace('n_overlap', 'COALESCE(ov.n_overlap, 0)')
+                     .replace('n_grams', 'sizes.n_grams'))}
+            >= {threshold} AS INT) AS contaminated
+FROM sizes LEFT JOIN ov ON ov.id = sizes.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition statistics
+# ---------------------------------------------------------------------------
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text: str = "text", n: int = 2) -> DataFrame:
+    """Per-document repetition signals (Gopher Table A1 style).
+
+    ``dup_word_frac`` = 1 - distinct/total tokens (computed per-row
+    from the token array, no shuffle); ``top_ngram_share`` = the most
+    frequent word n-gram's share of all n-gram occurrences (the
+    "fraction of characters in the most common n-gram" family);
+    ``n_total_ngrams`` for context. Docs shorter than n tokens report
+    zero share. Quality filters drop docs above thresholds (e.g.
+    Gopher drops top-2-gram share > 0.20).
+
+    Plan: non-distinct n-grams explode into a (doc, gram) count with
+    map-side partial aggregation, then reduce per doc — word-count
+    shape, both exchanges carry pre-combined partial rows. The per-row
+    signals stitch back via the same doc-keyed exchange.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    dup_frac = (F.lit(1.0)
+                - F.size(F.array_distinct(toks))
+                / F.greatest(F.size(toks), F.lit(1))).cast("double")
+    base = df.select(F.col(id_col).alias("id"),
+                     fp6(dup_frac).alias("dup_word_frac"))
+    # sequence(1, 0) in Spark DESCENDS to [1, 0] rather than emitting an
+    # empty array, so short docs must be guarded explicitly (same reason
+    # _shingles carries its when())
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (df.select(F.col(id_col).alias("id"),
+                          F.explode(grams).alias("gram"))
+                .groupBy("id", "gram")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    shares = (per_gram.groupBy("id")
+              .agg(F.max("cnt").alias("top_cnt"),
+                   F.sum("cnt").alias("n_total_ngrams")))
+    share = (F.col("top_cnt")
+             / F.greatest(F.col("n_total_ngrams"), F.lit(1))).cast("double")
+    return (base.join(shares, "id", "left")
+            .select(F.col("id").alias(id_col), "dup_word_frac",
+                    F.coalesce(F.col("n_total_ngrams"), F.lit(0))
+                    .alias("n_total_ngrams"),
+                    fp6(F.coalesce(share, F.lit(0.0)))
+                    .alias("top_ngram_share")))
+
+
+def repetition_sql(inner: str = "documents", id_col: str = "doc_id",
+                   text: str = "text", n: int = 2) -> str:
+    """DuckDB oracle twin of repetition_stats."""
+    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
+    grams = (f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+             f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))")
+    dup = (f"1.0 - CAST(len(list_distinct({toks})) AS DOUBLE)"
+           f" / greatest(len({toks}), 1)")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {fp6_sql(dup)} AS dup_word_frac FROM {inner}
+), pg AS (
+  SELECT {id_col} AS id, unnest({grams}) AS gram FROM {inner}
+), cnts AS (
+  SELECT id, gram, count(*) AS cnt FROM pg GROUP BY id, gram
+), shares AS (
+  SELECT id, max(cnt) AS top_cnt, sum(cnt) AS n_total FROM cnts GROUP BY id
+)
+SELECT base.id AS {id_col}, base.dup_word_frac,
+       CAST(COALESCE(shares.n_total, 0) AS BIGINT) AS n_total_ngrams,
+       {fp6_sql("COALESCE(CAST(shares.top_cnt AS DOUBLE)"
+                " / greatest(shares.n_total, 1), 0.0)")} AS top_ngram_share
+FROM base LEFT JOIN shares ON shares.id = base.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_HASH_SPAN = float(1 << 60)  # md5_60bit range
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: str = "mix1") -> DataFrame:
+    """Reproducible per-stratum downsampling for training-mix building.
+
+    Keeps a row iff u < rate(stratum), where u = md5-60bit(salt || id)
+    scaled to [0,1) — a pure projection + filter, zero shuffle, and the
+    SAME rows survive regardless of parallelism, partitioning, or input
+    order (unlike ``df.sample``, whose per-partition RNG re-draws when
+    the layout changes). ``salt`` decorrelates successive mixes drawn
+    from the same corpus. Rates land in the plan as a literal CASE
+    chain (strata sets are small — languages, sources), so the filter
+    stays inside whole-stage codegen and pushes into the scan.
+
+    Returns the kept rows with the sampling variate ``u`` (fp6) for
+    audit.
+    """
+    u = (md5_60bit(F.concat(F.lit(salt),
+                            F.col(id_col).cast("string")))
+         / F.lit(_HASH_SPAN))
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))) \
+            .otherwise(rate)
+    return (df.withColumn("u", fp6(u.cast("double")))
+            .filter(u < rate))
+
+
+def stratified_sample_sql(inner: str = "documents",
+                          rates: dict[str, float] | None = None,
+                          strata_col: str = "lang",
+                          id_col: str = "doc_id",
+                          default_rate: float = 0.0,
+                          salt: str = "mix1",
+                          cols: str = "*") -> str:
+    """DuckDB oracle twin of stratified_sample."""
+    rates = rates or {}
+    u = md5_60bit_sql(f"'{salt}' || CAST({id_col} AS VARCHAR)")
+    u = f"(CAST({u} AS DOUBLE) / {_HASH_SPAN!r})"
+    branches = " ".join(
+        f"WHEN '{s}' THEN {float(r)!r}"
+        for s, r in sorted((rates or {}).items()))
+    rate = f"(CASE {strata_col} {branches} ELSE {float(default_rate)!r} END)"
+    return (f"SELECT {cols}, {fp6_sql(u)} AS u FROM {inner} "
+            f"WHERE {u} < {rate}")

@@ -1,0 +1,132 @@
+"""Training-data pipeline operators: decontamination, repetition stats,
+stratified sampling (operators/pipeline.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geohash_dotnet_spark.operators import (
+    contamination_stats,
+    repetition_stats,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+def test_contamination_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # heavy overlap
+         (11, "umber vole wren xeno yak zebu"),         # clean
+         (12, "tiny")],                                 # no 3-grams at all
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in contamination_stats(train, bench, n=3,
+                                        threshold=0.2).collect()}
+    # doc 10: grams 1-4 of 4 hit the benchmark's 3 grams
+    assert out[10]["n_overlap"] == 3 and out[10]["contaminated"] == 1
+    assert out[11]["n_overlap"] == 0 and out[11]["contaminated"] == 0
+    assert out[12]["n_grams"] == 0 and out[12]["contamination"] == 0.0
+
+
+def test_contamination_corpus_not_shuffled(docs):
+    """The only exchanges carry overlap hits / per-doc counts — the
+    corpus-side gram explode must feed a BroadcastHashJoin, never a
+    SortMergeJoin (which would shuffle the corpus on the gram key)."""
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    plan = (contamination_stats(tr, ev)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_self_overlap_is_total(docs):
+    """Every doc scored against the whole corpus as benchmark is fully
+    contaminated (its own grams are benchmark grams)."""
+    some = docs.limit(50)
+    out = contamination_stats(some, docs, n=3, threshold=0.2)
+    bad = out.filter((F.col("n_grams") > 0)
+                     & (F.col("n_overlap") != F.col("n_grams"))).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# repetition
+# ---------------------------------------------------------------------------
+
+def test_repetition_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),       # 6 tokens, 2 distinct; "a b" 3 of 5 grams
+         (2, "v w x y z"),         # all distinct; every bigram unique
+         (3, "solo")],             # 1 token, no bigrams
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in repetition_stats(df, n=2).collect()}
+    assert out[1]["dup_word_frac"] == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert out[1]["n_total_ngrams"] == 5
+    assert out[1]["top_ngram_share"] == pytest.approx(3 / 5, abs=1e-6)
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_ngram_share"] == pytest.approx(1 / 4, abs=1e-6)
+    assert out[3]["n_total_ngrams"] == 0
+    assert out[3]["top_ngram_share"] == 0.0
+
+
+def test_repetition_partial_aggregation(docs):
+    """Word-count shape: the (id, gram) count must run map-side partial
+    aggregation before the exchange."""
+    plan = (repetition_stats(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def test_stratified_rates_and_determinism(docs):
+    rates = {"en": 0.5, "de": 0.2}
+    kept = stratified_sample(docs, rates, default_rate=0.0)
+    got = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # only configured strata survive; frequencies near the rate
+    assert set(got) <= {"en", "de"}
+    for lang, rate in rates.items():
+        if totals.get(lang, 0) >= 50:
+            assert abs(got.get(lang, 0) / totals[lang] - rate) < 0.2
+    # same ids regardless of layout (repartition shouldn't change the set)
+    a = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs.repartition(17), rates, default_rate=0.0)
+         .select("doc_id").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stratified_salt_decorrelates(docs):
+    rates = {"en": 0.5}
+    a = {r["doc_id"] for r in
+         stratified_sample(docs, rates, salt="mixA").select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs, rates, salt="mixB").select("doc_id").collect()}
+    assert a != b  # different draws
+    # but overlap is ~rate^2 of the stratum, i.e. both still near-half
+    n_en = docs.filter(F.col("lang") == "en").count()
+    if n_en >= 100:
+        assert 0.1 < len(a & b) / n_en < 0.45
+
+
+def test_stratified_zero_shuffle(docs):
+    """Pure projection + filter: no Exchange anywhere in the plan."""
+    plan = (stratified_sample(docs, {"en": 0.5})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
