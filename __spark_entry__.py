@@ -79,6 +79,7 @@ from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
 from geohash_dotnet_spark.operators.multimodal import media_features_sql  # noqa: E402
 from geohash_dotnet_spark.operators.pipeline import (  # noqa: E402
     contamination_sql,
+    pii_scrub_sql,
     repetition_sql,
     stratified_sample_sql,
 )
@@ -473,6 +474,33 @@ def q_stratified_sample(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+PII_SUFFIX_SQL = (" contact user' || CAST(doc_id AS VARCHAR) || "
+                  "'@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) "
+                  "|| '.0.1 call +1-555-' || "
+                  "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing over documents with deterministically planted
+    email/IP/phone per row (both engines synthesize the same suffix, so
+    the scrubbed-text fingerprints must agree byte-for-byte)."""
+    from geohash_dotnet_spark.operators import with_pii_scrubbed
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".0.1 call +1-555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+    return (with_pii_scrubbed(planted)
+            .select("doc_id", "n_emails", "n_phones", "n_ipv4",
+                    F.md5(F.col("text_scrubbed")).alias("scrub_fp"))
+            .orderBy("doc_id"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over the embeddings table."""
     emb = _emb(spark, sf_dir)
@@ -741,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
+        "pii_scrub": q_pii_scrub,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "cosine_near_pairs": q_cosine_near_pairs,
@@ -1001,6 +1030,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, lang, u FROM "
             f"({stratified_sample_sql('documents', rates={'en': 0.5, 'de': 0.25, 'es': 0.1}, cols='doc_id, lang', default_rate=0.05)}) "
             f"ORDER BY doc_id",
+        "pii_scrub":
+            f"SELECT doc_id, n_emails, n_phones, n_ipv4, "
+            f"md5(text_scrubbed) AS scrub_fp FROM ("
+            + pii_scrub_sql(
+                inner=("(SELECT doc_id, text || '" + PII_SUFFIX_SQL
+                       + " AS text FROM documents)"),
+                cols="doc_id")
+            + ") ORDER BY doc_id",
         "cosine_topk": cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "lsh_cosine_topk": lsh_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "cosine_near_pairs": cosine_near_pairs_sql(0.4),

@@ -42,6 +42,7 @@ from .pipeline import (  # noqa: F401
     contamination_stats,
     repetition_stats,
     stratified_sample,
+    with_pii_scrubbed,
 )
 from .sessions import sessionize  # noqa: F401
 from .text import (  # noqa: F401

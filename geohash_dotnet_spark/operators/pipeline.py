@@ -40,6 +40,8 @@ __all__ = [
     "repetition_sql",
     "stratified_sample",
     "stratified_sample_sql",
+    "with_pii_scrubbed",
+    "pii_scrub_sql",
 ]
 
 
@@ -264,3 +266,55 @@ def stratified_sample_sql(inner: str = "documents",
     rate = f"(CASE {strata_col} {branches} ELSE {float(default_rate)!r} END)"
     return (f"SELECT {cols}, {fp6_sql(u)} AS u FROM {inner} "
             f"WHERE {u} < {rate}")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns kept to constructs Java (Spark) and RE2 (DuckDB) evaluate
+# identically: char classes, bounded repeats, ASCII \b — no backrefs,
+# no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+_PII_ORDER = (  # emails first: their local parts may embed digit runs
+    ("n_emails", EMAIL_RE, "<EMAIL>"),
+    ("n_phones", PHONE_RE, "<PHONE>"),
+    ("n_ipv4", IPV4_RE, "<IP>"),
+)
+
+
+def with_pii_scrubbed(df: DataFrame, text: str = "text",
+                      out: str = "text_scrubbed") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens and count each redaction class.
+
+    Web text headed for a training set carries incidental PII;
+    pipelines scrub it before tokenization. Pure projection (native
+    regexp_count + chained regexp_replace, whole-stage codegen, zero
+    shuffle) so it composes with any scan for free at 100 TB. The scrub
+    order is fixed (emails, then phones, then IPs) so counts are
+    unambiguous when patterns could nest.
+    """
+    cur = F.col(text)
+    cols = {}
+    for cnt_name, pat, token in _PII_ORDER:
+        cols[cnt_name] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    cols[out] = cur
+    return df.withColumns(cols)
+
+
+def pii_scrub_sql(inner: str = "documents", text: str = "text",
+                  out: str = "text_scrubbed", cols: str = "*") -> str:
+    """DuckDB oracle twin of with_pii_scrubbed (regexp_replace 'g' =
+    Spark's replace-all default)."""
+    cur = text
+    sel = []
+    for cnt_name, pat, token in _PII_ORDER:
+        sel.append(f"len(regexp_extract_all({cur}, '{pat}')) AS {cnt_name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    sel.append(f"{cur} AS {out}")
+    return f"SELECT {cols}, {', '.join(sel)} FROM {inner}"

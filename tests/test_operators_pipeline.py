@@ -130,3 +130,35 @@ def test_stratified_zero_shuffle(docs):
     plan = (stratified_sample(docs, {"en": 0.5})
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_known_values(spark):
+    from geohash_dotnet_spark.operators import with_pii_scrubbed
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c_d@sub.example.org now"),
+         (2, "server at 192.168.0.1 and 10.0.0.255"),
+         (3, "call +44-123-4567 twice +1-555-0000"),
+         (4, "clean text, no pii 1.2.3 not-an-ip")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in with_pii_scrubbed(df).collect()}
+    assert out[1]["n_emails"] == 1
+    assert out[1]["text_scrubbed"] == "mail <EMAIL> now"
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["text_scrubbed"] == "server at <IP> and <IP>"
+    assert out[3]["n_phones"] == 2
+    assert out[4]["n_emails"] == 0 and out[4]["n_ipv4"] == 0
+    assert out[4]["text_scrubbed"] == out[4]["text"]
+
+
+def test_pii_scrub_zero_shuffle(docs):
+    from geohash_dotnet_spark.operators import with_pii_scrubbed
+
+    plan = (with_pii_scrubbed(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
