@@ -501,6 +501,67 @@ def q_pii_scrub(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+CURATION_RATES = {"en": 0.8, "de": 0.6, "es": 0.6, "fr": 0.6}
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: quality-score -> filter -> exact
+    dedup (keep lowest id per fingerprint) -> stratified mix on the
+    PREDICTED language -> repetition filter -> per-language corpus
+    stats. Composes five operators; the oracle replays the whole chain
+    relationally, so every stage sits under the value gate at once."""
+    from geohash_dotnet_spark.operators import (
+        exact_dedup, repetition_stats, stratified_sample)
+    from geohash_dotnet_spark.operators.text import (
+        fp6, with_quality, with_token_stats)
+
+    docs = _docs(spark, sf_dir)
+    scored = with_token_stats(with_quality(docs))
+    good = scored.filter(F.col("quality_score") >= 0.15)
+    deduped = exact_dedup(good)
+    sampled = stratified_sample(deduped, CURATION_RATES,
+                                strata_col="lang_pred",
+                                default_rate=0.5)
+    # repetition is per-row deterministic, so scoring only the sampled
+    # subset gives the same keep set as scoring the whole corpus (the
+    # oracle scores the corpus) at a fraction of the gram work
+    keep = (repetition_stats(sampled.select("doc_id", "text"))
+            .filter(F.col("top_ngram_share") <= 0.4)
+            .select("doc_id"))
+    flt = sampled.join(keep, "doc_id", "left_semi")
+    micro_q = F.floor(F.col("quality_score") * F.lit(1e6)
+                      + F.lit(0.5)).cast("long")
+    return (flt.groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 fp6((F.sum(micro_q) / F.count(F.lit(1)) / F.lit(1e6))
+                     .cast("double")).alias("avg_quality"))
+            .orderBy("lang_pred"))
+
+
+def _curation_pipeline_sql() -> str:
+    from geohash_dotnet_spark.operators.text import fingerprint_sql_expr
+
+    scored = token_stats_sql(inner=f"({quality_sql('documents')})")
+    good = f"SELECT * FROM ({scored}) WHERE quality_score >= 0.15"
+    fp = fingerprint_sql_expr()
+    deduped = (f"SELECT * FROM (SELECT *, {fp} AS fingerprint "
+               f"FROM ({good})) QUALIFY row_number() OVER ("
+               f"PARTITION BY fingerprint ORDER BY doc_id) = 1")
+    sampled = stratified_sample_sql(
+        inner=f"({deduped})", rates=CURATION_RATES,
+        strata_col="lang_pred", default_rate=0.5)
+    rep = repetition_sql("documents", n=2)
+    avg_q = ("CAST(sum(CAST(floor(quality_score * 1000000.0 + 0.5) AS "
+             "BIGINT)) AS DOUBLE) / count(*) / 1000000.0")
+    return (f"SELECT lang_pred, count(*) AS n_docs, "
+            f"CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            f"{fp6_sql(avg_q)} AS avg_quality "
+            f"FROM ({sampled}) WHERE doc_id IN "
+            f"(SELECT doc_id FROM ({rep}) WHERE top_ngram_share <= 0.4) "
+            f"GROUP BY lang_pred ORDER BY lang_pred")
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over the embeddings table."""
     emb = _emb(spark, sf_dir)
@@ -770,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
+        "curation_pipeline": q_curation_pipeline,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "cosine_near_pairs": q_cosine_near_pairs,
@@ -1038,6 +1100,7 @@ def oracle_sql() -> dict[str, str]:
                        + " AS text FROM documents)"),
                 cols="doc_id")
             + ") ORDER BY doc_id",
+        "curation_pipeline": _curation_pipeline_sql(),
         "cosine_topk": cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "lsh_cosine_topk": lsh_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "cosine_near_pairs": cosine_near_pairs_sql(0.4),
