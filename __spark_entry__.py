@@ -501,6 +501,53 @@ def q_pii_scrub(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_cover_tracks(spark, sf_dir):
+    """Trajectory coverage: per-user tracks built from consecutive
+    deterministically-geocoded events, each segment sampled >= 2 points
+    per p3 cell step and encoded with the native staged codegen encode;
+    per-track distinct-cell rollup (sampling semantics replayed
+    bit-for-bit by the DuckDB twin)."""
+    from pyspark.sql import Window
+
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+    from geohash_dotnet_spark.operators.tracks import cover_tracks
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("__eid", F.col("event_id").cast("string")))
+    ev = geocode_from_url(ev, url="__eid")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (ev.select(F.col("user_id").alias("track_id"),
+                     F.lag("lat").over(w).alias("lat1"),
+                     F.lag("lon").over(w).alias("lon1"),
+                     F.col("lat").alias("lat2"),
+                     F.col("lon").alias("lon2"))
+           .filter(F.col("lat1").isNotNull()))
+    cells = cover_tracks(seg, precision=3)
+    return (cells.groupBy("track_id")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.min("gh").alias("first_cell"),
+                 F.max("gh").alias("last_cell"))
+            .orderBy("track_id"))
+
+
+def _cover_tracks_sql() -> str:
+    from geohash_dotnet_spark.operators.tracks import cover_tracks_sql
+
+    eid = "CAST(event_id AS VARCHAR)"
+    pts = (f"SELECT user_id, ts, event_id, "
+           f"{geocode_lat_sql(eid)} AS lat, {geocode_lon_sql(eid)} AS lon "
+           f"FROM events")
+    seg = (f"SELECT user_id AS track_id, lag(lat) OVER w AS lat1, "
+           f"lag(lon) OVER w AS lon1, lat AS lat2, lon AS lon2 "
+           f"FROM ({pts}) "
+           f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)")
+    inner = f"SELECT * FROM ({seg}) WHERE lat1 IS NOT NULL"
+    cover = cover_tracks_sql(inner, 3)
+    return (f"SELECT track_id, CAST(count(*) AS BIGINT) AS n_cells, "
+            f"min(gh) AS first_cell, max(gh) AS last_cell "
+            f"FROM ({cover}) GROUP BY track_id ORDER BY track_id")
+
+
 CURATION_RATES = {"en": 0.8, "de": 0.6, "es": 0.6, "fr": 0.6}
 
 
@@ -820,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_tiles": q_quadkey_tiles,
         "url_host_stats": q_url_host_stats,
         "event_sessions": q_event_sessions,
+        "cover_tracks": q_cover_tracks,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_pairs": q_minhash_pairs,
@@ -1059,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({pages_sql(REP)}) GROUP BY host, top_dir "
             f"ORDER BY host, top_dir",
         "event_sessions": sessionize_sql(gap_s=1800),
+        "cover_tracks": _cover_tracks_sql(),
         "simhash_pairs": simhash_sql(max_hamming=3),
         "multimodal_features": media_features_sql(pages_sql(REP), 50),
         "events_windowed_tiles": (lambda inner: (

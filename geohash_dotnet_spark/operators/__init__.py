@@ -45,6 +45,7 @@ from .pipeline import (  # noqa: F401
     with_pii_scrubbed,
 )
 from .sessions import sessionize  # noqa: F401
+from .tracks import cover_tracks  # noqa: F401
 from .text import (  # noqa: F401
     with_fingerprint,
     with_quality,
