@@ -79,6 +79,7 @@ from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
 from geohash_dotnet_spark.operators.multimodal import media_features_sql  # noqa: E402
 from geohash_dotnet_spark.operators.pipeline import (  # noqa: E402
     contamination_sql,
+    pack_shards_sql,
     pii_scrub_sql,
     repetition_sql,
     stratified_sample_sql,
@@ -95,6 +96,7 @@ from geohash_dotnet_spark.operators.text import (  # noqa: E402
     fp6_sql,
     quality_sql,
     token_stats_sql,
+    vocab_topk_sql,
     winnow_sql,
 )
 from geohash_dotnet_spark.sources.pages import pages  # noqa: E402
@@ -548,6 +550,26 @@ def _cover_tracks_sql() -> str:
             f"FROM ({cover}) GROUP BY track_id ORDER BY track_id")
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: 200 most frequent tokens (word-count shape,
+    deterministic (n desc, token asc) boundary)."""
+    from geohash_dotnet_spark.operators import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=200)
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing: docs → hash buckets → exclusive-cumsum
+    shard boundaries within each bucket (layout-independent assignment)."""
+    from geohash_dotnet_spark.operators import pack_shards
+    from geohash_dotnet_spark.operators.text import with_token_stats
+
+    docs = with_token_stats(_docs(spark, sf_dir))
+    return (pack_shards(docs, budget=2000, n_buckets=8)
+            .select("doc_id", "bucket", "shard", "n_tokens")
+            .orderBy("doc_id"))
+
+
 CURATION_RATES = {"en": 0.8, "de": 0.6, "es": 0.6, "fr": 0.6}
 
 
@@ -880,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
+        "vocab_topk": q_vocab_topk,
+        "pack_shards": q_pack_shards,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "cosine_near_pairs": q_cosine_near_pairs,
@@ -1150,6 +1174,11 @@ def oracle_sql() -> dict[str, str]:
                 cols="doc_id")
             + ") ORDER BY doc_id",
         "curation_pipeline": _curation_pipeline_sql(),
+        "vocab_topk": vocab_topk_sql(k=200),
+        "pack_shards":
+            f"SELECT doc_id, bucket, shard, n_tokens FROM "
+            f"({pack_shards_sql(inner='(' + token_stats_sql() + ')', budget=2000, n_buckets=8, cols='doc_id, n_tokens')}) "
+            f"ORDER BY doc_id",
         "cosine_topk": cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "lsh_cosine_topk": lsh_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "cosine_near_pairs": cosine_near_pairs_sql(0.4),

@@ -40,6 +40,7 @@ from .similarity import (  # noqa: F401
 )
 from .pipeline import (  # noqa: F401
     contamination_stats,
+    pack_shards,
     repetition_stats,
     stratified_sample,
     with_pii_scrubbed,
@@ -47,6 +48,7 @@ from .pipeline import (  # noqa: F401
 from .sessions import sessionize  # noqa: F401
 from .tracks import cover_tracks  # noqa: F401
 from .text import (  # noqa: F401
+    vocab_topk,
     with_fingerprint,
     with_quality,
     with_token_stats,

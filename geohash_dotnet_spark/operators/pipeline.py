@@ -42,6 +42,8 @@ __all__ = [
     "stratified_sample_sql",
     "with_pii_scrubbed",
     "pii_scrub_sql",
+    "pack_shards",
+    "pack_shards_sql",
 ]
 
 
@@ -318,3 +320,57 @@ def pii_scrub_sql(inner: str = "documents", text: str = "text",
         cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
     sel.append(f"{cur} AS {out}")
     return f"SELECT {cols}, {', '.join(sel)} FROM {inner}"
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing
+# ---------------------------------------------------------------------------
+
+def pack_shards(df: DataFrame, n_tokens: str = "n_tokens",
+                id_col: str = "doc_id", budget: int = 10_000,
+                n_buckets: int = 8, salt: str = "pack1") -> DataFrame:
+    """Assign documents to training shards of ~``budget`` tokens.
+
+    Docs are first spread across ``n_buckets`` by a portable id-hash
+    (layout-independent), then packed WITHIN each bucket in id order:
+    shard boundary falls where the running token total crosses the
+    budget (exclusive-cumsum rule, so a doc larger than the budget gets
+    its own shard rather than spilling). Output adds (bucket, shard) —
+    the write key for `partitionBy`/bucketed layouts downstream.
+
+    Scale: the only exchange + sort is per bucket; n_buckets is the
+    parallelism knob (pick ~#cores x #executors at 10^12 docs — packing
+    quality is unaffected since every bucket packs independently). The
+    assignment is fully deterministic, so re-runs and different cluster
+    sizes produce identical shards — the property training-data
+    reproducibility actually needs.
+    """
+    from pyspark.sql import Window
+
+    bucket = (md5_60bit(F.concat(F.lit(salt),
+                                 F.col(id_col).cast("string")))
+              % F.lit(int(n_buckets))).cast("int")
+    w = (Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    withb = df.withColumn("bucket", bucket)
+    cum = F.sum(F.col(n_tokens)).over(w)
+    excl = (cum - F.col(n_tokens)).cast("long")
+    return withb.withColumn(
+        "shard", F.floor(excl / F.lit(int(budget))).cast("long"))
+
+
+def pack_shards_sql(inner: str = "documents", n_tokens: str = "n_tokens",
+                    id_col: str = "doc_id", budget: int = 10_000,
+                    n_buckets: int = 8, salt: str = "pack1",
+                    cols: str = "*") -> str:
+    """DuckDB oracle twin of pack_shards."""
+    h = md5_60bit_sql(f"'{salt}' || CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {cols}, bucket,
+       CAST(floor(CAST(sum({n_tokens}) OVER w - {n_tokens} AS BIGINT)
+                  / {int(budget)}) AS BIGINT) AS shard
+FROM (SELECT *, CAST({h} % {int(n_buckets)} AS INT) AS bucket
+      FROM {inner})
+WINDOW w AS (PARTITION BY bucket ORDER BY {id_col}
+             ROWS UNBOUNDED PRECEDING)
+"""

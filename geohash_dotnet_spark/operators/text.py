@@ -263,3 +263,31 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
 
 def fingerprint_sql_expr(text: str = "text") -> str:
     return f"md5(regexp_replace(trim(lower({text})), '\\s+', ' ', 'g'))"
+
+
+def vocab_topk(df: DataFrame, text: str = "text", k: int = 200) -> DataFrame:
+    """Corpus vocabulary: the k most frequent whitespace tokens.
+
+    The canonical massive aggregation: explode tokens (in-place row
+    fan-out, no shuffle), count per token with map-side partial
+    aggregation, then a global top-k. The total order (n desc, token
+    asc) makes the k-boundary deterministic, so both engines cut the
+    same set. The final sort ranks only the distinct-vocabulary counts
+    (vocabulary, not corpus, cardinality); a TakeOrderedAndProject picks
+    k without a global sort of the data.
+    """
+    toks = _tokens(F.col(text))
+    return (df.select(F.explode(toks).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(k))
+
+
+def vocab_topk_sql(inner: str = "documents", text: str = "text",
+                   k: int = 200) -> str:
+    """DuckDB oracle twin of vocab_topk."""
+    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
+    return (f"SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+            f"SELECT unnest({toks}) AS token FROM {inner}) "
+            f"GROUP BY token ORDER BY n DESC, token LIMIT {k}")

@@ -162,3 +162,46 @@ def test_pii_scrub_zero_shuffle(docs):
     plan = (with_pii_scrubbed(docs)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# shard packing / vocabulary
+# ---------------------------------------------------------------------------
+
+def test_pack_shards_budget_rule(spark):
+    from geohash_dotnet_spark.operators import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, 600) for i in range(10)] + [(100, 5000)],
+        ["doc_id", "n_tokens"])
+    out = pack_shards(df, budget=1000, n_buckets=1).collect()
+    by_id = {r["doc_id"]: r["shard"] for r in out}
+    # exclusive cumsum: docs 0,1 -> shard 0 (0,600); doc 2 starts at 1200
+    assert by_id[0] == 0 and by_id[1] == 0 and by_id[2] == 1
+    # the oversized doc still gets exactly one shard (no spill/split)
+    assert len({r["shard"] for r in out if r["doc_id"] == 100}) == 1
+
+
+def test_pack_shards_layout_independent(docs):
+    from geohash_dotnet_spark.operators import pack_shards
+    from geohash_dotnet_spark.operators.text import with_token_stats
+
+    d = with_token_stats(docs)
+    a = {(r["doc_id"], r["bucket"], r["shard"])
+         for r in pack_shards(d, budget=2000).select(
+             "doc_id", "bucket", "shard").collect()}
+    b = {(r["doc_id"], r["bucket"], r["shard"])
+         for r in pack_shards(d.repartition(13), budget=2000).select(
+             "doc_id", "bucket", "shard").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_vocab_topk_no_global_sort_of_corpus(docs):
+    """Top-k must be TakeOrderedAndProject over the vocabulary counts,
+    never a full Sort of the exploded corpus."""
+    from geohash_dotnet_spark.operators import vocab_topk
+
+    plan = (vocab_topk(docs, k=50)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
