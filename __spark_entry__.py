@@ -550,6 +550,27 @@ def _cover_tracks_sql() -> str:
             f"FROM ({cover}) GROUP BY track_id ORDER BY track_id")
 
 
+def q_tile_smooth(spark, sf_dir):
+    """Raster-style 3x3 focal smoothing of per-tile page counts at p3:
+    each tile's smoothed value is the sum over its (deduped) neighbor
+    set plus itself. The neighbor expansion runs on the AGGREGATED tile
+    set (|tiles| rows, never the corpus), so smoothing cost is
+    independent of page count — the focal window of GIS map algebra
+    expressed as explode + join + re-aggregate."""
+    pg = with_geohash(_pages(spark, sf_dir), "lat", "lon", 3)
+    tiles = pg.groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
+    nb = tiles.select(
+        F.col("gh").alias("t"),
+        F.explode(F.array_union(gh_neighbors(F.col("gh")),
+                                F.array(F.col("gh")))).alias("s"))
+    focal = (nb.join(tiles.select(F.col("gh").alias("s"),
+                                  F.col("n").alias("sn")), "s")
+             .groupBy("t").agg(F.sum("sn").alias("focal_n")))
+    return (tiles.select(F.col("gh").alias("tile"), "n")
+            .join(focal.withColumnRenamed("t", "tile"), "tile")
+            .orderBy("tile"))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: 200 most frequent tokens (word-count shape,
     deterministic (n desc, token asc) boundary)."""
@@ -890,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": q_url_host_stats,
         "event_sessions": q_event_sessions,
         "cover_tracks": q_cover_tracks,
+        "tile_smooth": q_tile_smooth,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_pairs": q_minhash_pairs,
@@ -1132,6 +1154,18 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY host, top_dir",
         "event_sessions": sessionize_sql(gap_s=1800),
         "cover_tracks": _cover_tracks_sql(),
+        "tile_smooth": (
+            f"WITH tiles3 AS (SELECT gh, CAST(count(*) AS BIGINT) AS n "
+            f"FROM ({pages_tagged_sql(3, REP)}) GROUP BY gh), "
+            f"pairs AS (SELECT DISTINCT t, s FROM ("
+            f"SELECT src AS t, neighbor AS s FROM "
+            f"({tagged_select_sql(nb_pts, 3, keep='src', out='neighbor')}) "
+            f"UNION ALL SELECT gh AS t, gh AS s FROM tiles3)) "
+            f"SELECT tiles3.gh AS tile, tiles3.n, f.focal_n "
+            f"FROM tiles3 JOIN (SELECT p.t, CAST(sum(c.n) AS BIGINT) AS "
+            f"focal_n FROM pairs p JOIN tiles3 c ON c.gh = p.s "
+            f"GROUP BY p.t) f ON f.t = tiles3.gh "
+            f"ORDER BY tile"),
         "simhash_pairs": simhash_sql(max_hamming=3),
         "multimodal_features": media_features_sql(pages_sql(REP), 50),
         "events_windowed_tiles": (lambda inner: (
