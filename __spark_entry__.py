@@ -571,6 +571,46 @@ def q_tile_smooth(spark, sf_dir):
             .orderBy("tile"))
 
 
+def q_tile_trend(spark, sf_dir):
+    """Geo-temporal trend: per-tile daily event counts with the
+    day-over-day delta (lag over the PRESENT days per tile). The window
+    runs on the aggregated (tile, day) table — small — after one
+    corpus-keyed aggregation exchange."""
+    from pyspark.sql import Window
+
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("__uid", F.col("user_id").cast("string")))
+    ev = with_geohash(geocode_from_url(ev, url="__uid"), "lat", "lon", 2)
+    daily = (ev.groupBy(F.col("gh").alias("tile"),
+                        F.date_trunc("day", F.col("ts").cast("timestamp"))
+                        .cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy("tile").orderBy("day")
+    return (daily.withColumn(
+        "delta",
+        F.coalesce(F.col("n_events") - F.lag("n_events").over(w),
+                   F.lit(0)).cast("long"))
+            .orderBy("tile", "day"))
+
+
+def _tile_trend_sql() -> str:
+    uid = "CAST(user_id AS VARCHAR)"
+    pts = (f"SELECT ts, {geocode_lat_sql(uid)} AS lat, "
+           f"{geocode_lon_sql(uid)} AS lon FROM events")
+    tagged = tagged_select_sql(pts, 2, keep="ts")
+    return (f"WITH daily AS (SELECT gh AS tile, "
+            f"CAST(date_trunc('day', ts) AS DATE) AS day, "
+            f"CAST(count(*) AS BIGINT) AS n_events "
+            f"FROM ({tagged}) GROUP BY 1, 2) "
+            f"SELECT tile, day, n_events, "
+            f"CAST(COALESCE(n_events - lag(n_events) OVER ("
+            f"PARTITION BY tile ORDER BY day), 0) AS BIGINT) AS delta "
+            f"FROM daily ORDER BY tile, day")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: 200 most frequent tokens (word-count shape,
     deterministic (n desc, token asc) boundary)."""
@@ -912,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "cover_tracks": q_cover_tracks,
         "tile_smooth": q_tile_smooth,
+        "tile_trend": q_tile_trend,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_pairs": q_minhash_pairs,
@@ -1166,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
             f"focal_n FROM pairs p JOIN tiles3 c ON c.gh = p.s "
             f"GROUP BY p.t) f ON f.t = tiles3.gh "
             f"ORDER BY tile"),
+        "tile_trend": _tile_trend_sql(),
         "simhash_pairs": simhash_sql(max_hamming=3),
         "multimodal_features": media_features_sql(pages_sql(REP), 50),
         "events_windowed_tiles": (lambda inner: (
