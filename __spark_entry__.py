@@ -90,6 +90,7 @@ from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_topk_sql,
     ivf_cosine_topk_sql,
     lsh_cosine_topk_sql,
+    semantic_dedup_sql,
 )
 from geohash_dotnet_spark.operators.text import (  # noqa: E402
     fp6,
@@ -611,6 +612,25 @@ def _tile_trend_sql() -> str:
             f"FROM daily ORDER BY tile, day")
 
 
+def q_tile_quality_dist(spark, sf_dir):
+    """Per-tile quality distribution: exact interpolated median plus
+    min/max of the fp6-quantized quality score. Median is rank-based
+    (deterministic under any aggregation order, unlike a float mean),
+    and at f=0.5 both engines interpolate lower + 0.5*(higher-lower)
+    over identical quantized inputs, so the gate is exact."""
+    from geohash_dotnet_spark.operators.text import with_quality
+
+    pg = with_quality(with_geohash(_pages(spark, sf_dir),
+                                   "lat", "lon", 2))
+    return (pg.groupBy(F.col("gh").alias("tile"))
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 fp6(F.percentile(F.col("quality_score"), F.lit(0.5)))
+                 .alias("median_q"),
+                 F.min("quality_score").alias("min_q"),
+                 F.max("quality_score").alias("max_q"))
+            .orderBy("tile"))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: 200 most frequent tokens (word-count shape,
     deterministic (n desc, token asc) boundary)."""
@@ -732,6 +752,14 @@ def q_lsh_cosine_topk(spark, sf_dir):
                        F.col("embedding").alias("q_vec")))
     return (lsh_cosine_topk(emb, queries, k=10, dim=64)
             .orderBy("q_id", "rank"))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: shuffle-free coarse clustering,
+    cluster-local near-identical pairs, most-similar-lower-id keep rule."""
+    from geohash_dotnet_spark.operators import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.4)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -953,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_tracks": q_cover_tracks,
         "tile_smooth": q_tile_smooth,
         "tile_trend": q_tile_trend,
+        "tile_quality_dist": q_tile_quality_dist,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_pairs": q_minhash_pairs,
@@ -971,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "cosine_near_pairs": q_cosine_near_pairs,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_features": q_multimodal_features,
         "events_windowed_tiles": q_events_windowed_tiles,
         "flagship": q_flagship,
@@ -1208,6 +1238,12 @@ def oracle_sql() -> dict[str, str]:
             f"GROUP BY p.t) f ON f.t = tiles3.gh "
             f"ORDER BY tile"),
         "tile_trend": _tile_trend_sql(),
+        "tile_quality_dist": (
+            f"SELECT gh AS tile, CAST(count(*) AS BIGINT) AS n_pages, "
+            f"{fp6_sql('quantile_cont(quality_score, 0.5)')} AS median_q, "
+            f"min(quality_score) AS min_q, max(quality_score) AS max_q "
+            f"FROM ({quality_sql(inner='(' + tagged2 + ')')}) "
+            f"GROUP BY gh ORDER BY tile"),
         "simhash_pairs": simhash_sql(max_hamming=3),
         "multimodal_features": media_features_sql(pages_sql(REP), 50),
         "events_windowed_tiles": (lambda inner: (
@@ -1259,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_cosine_topk": lsh_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "cosine_near_pairs": cosine_near_pairs_sql(0.4),
         "ivf_cosine_topk": ivf_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
+        "semantic_dedup": semantic_dedup_sql(threshold=0.4),
         "flagship":
             f"SELECT substr(gh, 1, 1) AS tile1, lang, count(*) AS n_pages, "
             f"{fp6_sql('CAST(sum(CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0')} AS avg_quality "

@@ -34,6 +34,7 @@ from .similarity import (  # noqa: F401
     cosine_near_pairs,
     cosine_topk,
     lsh_cosine_topk,
+    semantic_dedup,
     signature_col,
     signature_col_vec,
     with_cosine,

@@ -186,21 +186,7 @@ def ivf_cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
                      F.col(vec_col).alias("c_vec")))
     # bounded collect: exactly n_centroids rows — the quantizer codebook
     cent_rows = sorted(cents.collect(), key=lambda r: r["cid"])
-
-    def _lit_vec(v):
-        return F.array(*[F.lit(float(x)) for x in v])
-
-    # struct max picks highest cosine first, then highest -cid = lowest
-    # cid — the same tie rule as the window form and the SQL twin. A
-    # null cosine (null/ragged vector) sorts below any non-null struct,
-    # and the all-null case degrades to the lowest cid — also identical.
-    structs = [
-        F.struct(
-            _cosine_fp6(F.col(vec_col), _lit_vec(r["c_vec"])).alias("c"),
-            F.lit(-int(r["cid"])).cast("long").alias("nc"))
-        for r in cent_rows]
-    tagged = (emb_df.select(id_col, vec_col)
-              .withColumn("cid", -F.array_max(F.array(*structs))["nc"]))
+    tagged = _coarse_assign(emb_df, cent_rows, vec_col, id_col)
 
     def assign(df, key, vec, rank_limit, out):
         scored = with_cosine(df.crossJoin(F.broadcast(cents)), vec, "c_vec",
@@ -219,6 +205,102 @@ def ivf_cosine_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, "rank", id_col, "cosine"))
+
+
+def _coarse_assign(emb_df: DataFrame, cent_rows, vec_col: str,
+                   id_col: str) -> DataFrame:
+    """Shuffle-free coarse-quantizer assignment: the codebook (a bounded
+    driver-side artifact) folds in as literal arrays; the argmax is a
+    native ``array_max`` over (cosine, -cid) structs.
+
+    Struct max picks highest cosine first, then highest -cid = lowest
+    cid — the same tie rule as the window form and the SQL twin. A
+    null cosine (null/ragged vector) sorts below any non-null struct,
+    and the all-null case degrades to the lowest cid — also identical.
+    """
+    def _lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    structs = [
+        F.struct(
+            _cosine_fp6(F.col(vec_col), _lit_vec(r["c_vec"])).alias("c"),
+            F.lit(-int(r["cid"])).cast("long").alias("nc"))
+        for r in cent_rows]
+    return (emb_df.select(id_col, vec_col)
+            .withColumn("cid", -F.array_max(F.array(*structs))["nc"]))
+
+
+def semantic_dedup(emb_df: DataFrame, threshold: float = 0.95,
+                   n_centroids: int = 16, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication over embeddings.
+
+    Coarse-cluster every vector with the shuffle-free literal-codebook
+    assignment (same quantizer as ``ivf_cosine_topk``), then mark a
+    vector a duplicate when its cluster holds a LOWER-id vector with
+    fp6-cosine >= ``threshold``; emit (vec_id, cid, dup_of, cosine) for
+    the duplicates (dup_of = the most-similar lower id; cosine ties
+    resolve to the lowest id). Pairs straddling a
+    cluster boundary are not compared — the documented recall trade of
+    cluster-scoped semantic dedup; raise n_centroids for tighter
+    clusters or lower it toward 1 for exact (quadratic) behavior.
+
+    Scale shape: assignment is a projection (zero Exchange); the only
+    self-join is cluster-local (shuffle keyed by cid, list sizes ~N/C),
+    and the dup-selection aggregate reuses the same (id) key. No
+    all-pairs join of the corpus anywhere.
+    """
+    cents = (emb_df.filter(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("cid"),
+                     F.col(vec_col).alias("c_vec")))
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    tagged = _coarse_assign(emb_df, cent_rows, vec_col, id_col)
+    a = tagged.select(F.col("cid"), F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"))
+    b = tagged.select(F.col("cid"), F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    pairs = (a.join(b, "cid")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", _cosine_fp6(F.col("va"), F.col("vb")))
+             .filter(F.col("cosine") >= F.lit(threshold)))
+    best = F.struct(F.col("cosine").alias("c"),
+                    (-F.col("id_a")).cast("long").alias("na"))
+    return (pairs.groupBy(F.col("id_b").alias(id_col), "cid")
+            .agg(F.max(best).alias("__b"))
+            .select(id_col, "cid",
+                    (-F.col("__b.na")).alias("dup_of"),
+                    F.col("__b.c").alias("cosine"))
+            .orderBy(id_col))
+
+
+def semantic_dedup_sql(threshold: float = 0.95, n_centroids: int = 16,
+                       inner: str = "embeddings") -> str:
+    """DuckDB oracle twin of semantic_dedup (assignment replay + exact
+    cluster-local pairs + the same (cosine desc, id asc) dup_of rule)."""
+    cos_assign = _cosine_fp6_sql("e.embedding", "c.embedding")
+    cos_pair = _cosine_fp6_sql("a.embedding", "b.embedding")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM {inner} WHERE vec_id < {n_centroids}
+), assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_assign} DESC, c.cid ASC) AS r
+    FROM {inner} e CROSS JOIN cents c
+  ) WHERE r = 1
+), pairs AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+         {cos_pair} AS cosine
+  FROM assigned a JOIN assigned b USING (cid)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_b AS vec_id, cid, id_a AS dup_of, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_b
+                               ORDER BY cosine DESC, id_a ASC) AS r
+  FROM pairs WHERE cosine >= {threshold}
+) WHERE r = 1 ORDER BY vec_id
+"""
 
 
 def ivf_cosine_topk_sql(k: int, query_ids: list[int], n_centroids: int = 16,

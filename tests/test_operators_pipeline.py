@@ -205,3 +205,34 @@ def test_vocab_topk_no_global_sort_of_corpus(docs):
             .executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_planted_duplicate(spark):
+    from geohash_dotnet_spark.operators import semantic_dedup
+
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant: vec 35 is a near-copy of vec 3
+    rows[35] = (35, [float(x) for x in (base[3] + 0.01 * base[35] * 0)])
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r.asDict()
+           for r in semantic_dedup(df, threshold=0.99,
+                                   n_centroids=4).collect()}
+    assert 35 in out and out[35]["dup_of"] == 3
+    assert out[35]["cosine"] >= 0.99
+
+
+def test_semantic_dedup_no_cross_join(spark, sf_small):
+    from geohash_dotnet_spark.operators import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    plan = (semantic_dedup(emb, threshold=0.4)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
