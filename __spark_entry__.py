@@ -631,6 +631,52 @@ def q_tile_quality_dist(spark, sf_dir):
             .orderBy("tile"))
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup after canonicalization: deterministic dirty
+    variants (case-shifted host, www prefix, fragment, shuffled query
+    params, trailing slash) collapse to one canonical form per page."""
+    from geohash_dotnet_spark.operators import with_canonical_url
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(7))))
+    base = F.concat(
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("HTTPS://WWW.Crawl.Example"))
+        .otherwise(F.lit("https://crawl.example")),
+        F.lit("/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"))
+    m = F.col("rep") % 4
+    dirty = (F.when(m == 0, base)
+             .when(m == 1, F.concat(base, F.lit("#section")))
+             .when(m == 2, F.concat(base, F.lit("?b=2&a=1")))
+             .otherwise(F.concat(base, F.lit("/?a=1&b=2"))))
+    d = with_canonical_url(docs.withColumn("url", dirty))
+    return (d.groupBy("canon_url")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("url").alias("n_variants"))
+            .orderBy("canon_url"))
+
+
+def _url_canonical_dedup_sql() -> str:
+    from geohash_dotnet_spark.operators.pipeline import (
+        canonical_url_sql_expr)
+
+    base = ("CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Crawl.Example' "
+            "ELSE 'https://crawl.example' END || '/' || source || '/' "
+            "|| CAST(doc_id AS VARCHAR)")
+    dirty = (f"CASE WHEN rep % 4 = 0 THEN base "
+             f"WHEN rep % 4 = 1 THEN base || '#section' "
+             f"WHEN rep % 4 = 2 THEN base || '?b=2&a=1' "
+             f"ELSE base || '/?a=1&b=2' END")
+    return (f"SELECT {canonical_url_sql_expr('url')} AS canon_url, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(DISTINCT url) AS BIGINT) AS n_variants "
+            f"FROM (SELECT {dirty} AS url FROM "
+            f"(SELECT doc_id, source, unnest(range(8)) AS rep, "
+            f"{base} AS base FROM documents)) "
+            f"GROUP BY canon_url ORDER BY canon_url")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: 200 most frequent tokens (word-count shape,
     deterministic (n desc, token asc) boundary)."""
@@ -995,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
         "vocab_topk": q_vocab_topk,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "pack_shards": q_pack_shards,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -1287,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
             + ") ORDER BY doc_id",
         "curation_pipeline": _curation_pipeline_sql(),
         "vocab_topk": vocab_topk_sql(k=200),
+        "url_canonical_dedup": _url_canonical_dedup_sql(),
         "pack_shards":
             f"SELECT doc_id, bucket, shard, n_tokens FROM "
             f"({pack_shards_sql(inner='(' + token_stats_sql() + ')', budget=2000, n_buckets=8, cols='doc_id, n_tokens')}) "

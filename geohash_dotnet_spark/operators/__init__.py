@@ -44,6 +44,7 @@ from .pipeline import (  # noqa: F401
     pack_shards,
     repetition_stats,
     stratified_sample,
+    with_canonical_url,
     with_pii_scrubbed,
 )
 from .sessions import sessionize  # noqa: F401

@@ -44,6 +44,8 @@ __all__ = [
     "pii_scrub_sql",
     "pack_shards",
     "pack_shards_sql",
+    "with_canonical_url",
+    "canonical_url_sql_expr",
 ]
 
 
@@ -374,3 +376,51 @@ FROM (SELECT *, CAST({h} % {int(n_buckets)} AS INT) AS bucket
 WINDOW w AS (PARTITION BY bucket ORDER BY {id_col}
              ROWS UNBOUNDED PRECEDING)
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+_URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)"
+_URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)"
+
+
+def with_canonical_url(df: DataFrame, url: str = "url",
+                       out: str = "canon_url") -> DataFrame:
+    """Canonical URL: strip fragment, lowercase scheme+host, drop a
+    leading ``www.``, trim trailing slashes, and sort query parameters
+    — the normalization web crawls run before URL-level dedup (the same
+    page arrives as `HTTPS://WWW.x.com/p?b=2&a=1#top` and
+    `https://x.com/p?a=1&b=2`). Pure projection: chained native
+    regexp/array ops, zero shuffle; every regex is Java/RE2-portable so
+    the DuckDB twin canonicalizes byte-identically.
+    """
+    u = F.regexp_replace(F.col(url), "#.*", "")
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, _URL_HOST_RE, 1)), r"^www\.", "")
+    path = F.regexp_replace(F.regexp_extract(u, _URL_PATH_RE, 1),
+                            "/+$", "")
+    query = F.regexp_extract(u, r"\?(.*)", 1)
+    sortedq = F.concat_ws("&", F.array_sort(F.split(query, "&")))
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sortedq)))
+    return df.withColumn(out, canon)
+
+
+def canonical_url_sql_expr(url: str = "url") -> str:
+    """DuckDB twin of with_canonical_url (one scalar expression)."""
+    u = f"regexp_replace({url}, '#.*', '')"
+    scheme = f"lower(regexp_extract({u}, '{_URL_SCHEME_RE}', 1))"
+    host = (f"regexp_replace(lower(regexp_extract({u}, "
+            f"'{_URL_HOST_RE}', 1)), '^www\\.', '')")
+    path = (f"regexp_replace(regexp_extract({u}, '{_URL_PATH_RE}', 1), "
+            f"'/+$', '')")
+    query = f"regexp_extract({u}, '\\?(.*)', 1)"
+    sortedq = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
+    return (f"({scheme} || '://' || {host} || {path} || "
+            f"CASE WHEN {query} = '' THEN '' ELSE '?' || {sortedq} END)")

@@ -236,3 +236,34 @@ def test_semantic_dedup_no_cross_join(spark, sf_small):
             .executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+def test_canonical_url_known_forms(spark):
+    from geohash_dotnet_spark.operators import with_canonical_url
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Ex.com/p?b=2&a=1#frag"),
+         (2, "https://ex.com/p?a=1&b=2"),
+         (3, "https://ex.com/p/"),
+         (4, "http://ex.com/")],
+        ["i", "url"])
+    out = {r["i"]: r["canon_url"]
+           for r in with_canonical_url(df).collect()}
+    assert out[1] == out[2] == "https://ex.com/p?a=1&b=2"
+    assert out[3] == "https://ex.com/p"
+    assert out[4] == "http://ex.com"
+
+
+def test_canonical_url_zero_shuffle(docs):
+    from geohash_dotnet_spark.operators import with_canonical_url
+    from pyspark.sql import functions as F
+
+    d = docs.withColumn("url", F.concat(F.lit("https://x.com/"),
+                                        F.col("doc_id").cast("string")))
+    plan = (with_canonical_url(d)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
