@@ -631,6 +631,22 @@ def q_tile_quality_dist(spark, sf_dir):
             .orderBy("tile"))
 
 
+def q_extract_text(spark, sf_dir):
+    """The input_hint invariant as a gated query: text extracted from
+    the html binary must be byte-identical to the text column per url
+    (fp = md5 of the extraction, byte_identical asserted row-wise; the
+    oracle replays decode+strip relationally)."""
+    from geohash_dotnet_spark.operators.text import extract_text
+
+    pg = pages(spark, sf_dir, replicate=2, with_html=True)
+    ex = extract_text(pg)
+    return (ex.select("url",
+                      F.md5(F.col("extracted_text")).alias("fp"),
+                      (F.col("extracted_text") == F.col("text"))
+                      .cast("int").alias("byte_identical"))
+            .orderBy("url"))
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """URL-level dedup after canonicalization: deterministic dirty
     variants (case-shifted host, www prefix, fragment, shuffled query
@@ -1042,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "vocab_topk": q_vocab_topk,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "extract_text": q_extract_text,
         "pack_shards": q_pack_shards,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -1335,6 +1352,14 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_pipeline_sql(),
         "vocab_topk": vocab_topk_sql(k=200),
         "url_canonical_dedup": _url_canonical_dedup_sql(),
+        "extract_text": (
+            f"SELECT url, md5(regexp_replace("
+            f"'<html><body>' || text || '</body></html>', "
+            f"'<[^>]*>', '', 'g')) AS fp, "
+            f"CAST(regexp_replace('<html><body>' || text || "
+            f"'</body></html>', '<[^>]*>', '', 'g') = text AS INT) "
+            f"AS byte_identical "
+            f"FROM ({pages_sql(2)}) ORDER BY url"),
         "pack_shards":
             f"SELECT doc_id, bucket, shard, n_tokens FROM "
             f"({pack_shards_sql(inner='(' + token_stats_sql() + ')', budget=2000, n_buckets=8, cols='doc_id, n_tokens')}) "

@@ -291,3 +291,16 @@ def vocab_topk_sql(inner: str = "documents", text: str = "text",
     return (f"SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
             f"SELECT unnest({toks}) AS token FROM {inner}) "
             f"GROUP BY token ORDER BY n DESC, token LIMIT {k}")
+
+
+def extract_text(df: DataFrame, html: str = "html",
+                 out: str = "extracted_text") -> DataFrame:
+    """Extract text from the ``html`` binary column: UTF-8 decode +
+    tag strip — the minimal extraction matching how the synthetic
+    payload embeds the text, so extraction must reproduce the ``text``
+    column BYTE-IDENTICALLY per url (the pipeline's per-row invariant).
+    Zero-shuffle native projection; the html column is read only here
+    (everywhere else it is pruned at the scan).
+    """
+    s = F.decode(F.col(html), "UTF-8")
+    return df.withColumn(out, F.regexp_replace(s, "<[^>]*>", ""))
