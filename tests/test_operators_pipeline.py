@@ -267,3 +267,21 @@ def test_canonical_url_zero_shuffle(docs):
     plan = (with_canonical_url(d)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) — re-normalizing must be a no-op."""
+    from geohash_dotnet_spark.operators import with_canonical_url
+
+    urls = [(i, u) for i, u in enumerate([
+        "HTTPS://WWW.Ex.com/p?b=2&a=1#frag",
+        "https://ex.com/a/b/?z=1&y=2&x=3",
+        "http://WWW.site.org/#top",
+        "ftp://Host.Net/Dir/",
+    ])]
+    df = spark.createDataFrame(urls, ["i", "url"])
+    once = with_canonical_url(df).select(
+        "i", F.col("canon_url").alias("url"))
+    twice = with_canonical_url(once)
+    diff = twice.filter(F.col("url") != F.col("canon_url")).count()
+    assert diff == 0
