@@ -78,6 +78,7 @@ from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
 )
 from geohash_dotnet_spark.operators.multimodal import media_features_sql  # noqa: E402
 from geohash_dotnet_spark.operators.pipeline import (  # noqa: E402
+    boilerplate_sql,
     contamination_sql,
     pack_shards_sql,
     pii_scrub_sql,
@@ -463,6 +464,16 @@ def q_repetition_stats(spark, sf_dir):
     from geohash_dotnet_spark.operators import repetition_stats
 
     return repetition_stats(_docs(spark, sf_dir), n=2).orderBy("doc_id")
+
+
+def q_boilerplate_stats(spark, sf_dir):
+    """Cross-document boilerplate fraction: bigram document frequency,
+    hot set (df >= max(2, ceil(5% of corpus))) broadcast back for the
+    per-doc recount — the CCNet/RefinedWeb boilerplate signal."""
+    from geohash_dotnet_spark.operators import boilerplate_stats
+
+    return (boilerplate_stats(_docs(spark, sf_dir), n=2, min_df=0.05)
+            .orderBy("doc_id"))
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -1053,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
@@ -1336,6 +1348,9 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY doc_id",
         "repetition_stats":
             f"SELECT * FROM ({repetition_sql('documents', n=2)}) "
+            f"ORDER BY doc_id",
+        "boilerplate_stats":
+            f"SELECT * FROM ({boilerplate_sql('documents', n=2, min_df=0.05)}) "
             f"ORDER BY doc_id",
         "stratified_sample":
             f"SELECT doc_id, lang, u FROM "

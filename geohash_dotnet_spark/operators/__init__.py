@@ -40,6 +40,7 @@ from .similarity import (  # noqa: F401
     with_cosine,
 )
 from .pipeline import (  # noqa: F401
+    boilerplate_stats,
     contamination_stats,
     pack_shards,
     repetition_stats,

@@ -46,6 +46,8 @@ __all__ = [
     "pack_shards_sql",
     "with_canonical_url",
     "canonical_url_sql_expr",
+    "boilerplate_stats",
+    "boilerplate_sql",
 ]
 
 
@@ -424,3 +426,82 @@ def canonical_url_sql_expr(url: str = "url") -> str:
     sortedq = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
     return (f"({scheme} || '://' || {host} || {path} || "
             f"CASE WHEN {query} = '' THEN '' ELSE '?' || {sortedq} END)")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate (n-gram document frequency)
+# ---------------------------------------------------------------------------
+
+def boilerplate_stats(df: DataFrame, id_col: str = "doc_id",
+                      text: str = "text", n: int = 2,
+                      min_df: float = 0.05) -> DataFrame:
+    """Per-document boilerplate fraction from cross-corpus n-gram
+    document frequency — the CCNet/RefinedWeb-style signal that
+    complements :func:`repetition_stats` (within-doc repetition): a
+    navigation bar or cookie banner repeats ACROSS documents, not
+    within one.
+
+    A shingle is *boilerplate* when it appears in at least
+    ``greatest(2, ceil(min_df * N))`` documents (N = corpus size).
+    Output per doc: ``n_shingles`` (distinct shingles), ``n_boiler``
+    (how many of them are boilerplate), ``boiler_frac`` (fp6-gated
+    ratio). Docs shorter than ``n`` tokens emit no shingles and are
+    absent from the output (same as the DuckDB twin's empty unnest).
+
+    Scale shape (100 TB): (id, shingle) pairs are already distinct per
+    doc (``_shingles`` dedups in-array), so no global ``distinct()`` is
+    needed; document frequency is one partial+final count keyed by
+    shingle; the hot set is *small by construction* (only shingles in
+    >= min_df of the corpus survive) and is BROADCAST back — the
+    per-doc recount joins pairs against a broadcast hash set, never a
+    shuffled self-join. Corpus size reaches the plan as a broadcast
+    1-row aggregate, no driver collect.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(_shingles(F.col(text), n)).alias("shingle"))
+    total = df.select(F.count(F.lit(1)).alias("__N"))
+    thresh = F.greatest(F.lit(2).cast("long"),
+                        F.ceil(F.lit(min_df) * F.col("__N")))
+    hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+           .crossJoin(F.broadcast(total))
+           .filter(F.col("__df") >= thresh)
+           .select("shingle"))
+    per_doc = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    per_hot = (sh.join(F.broadcast(hot), on="shingle", how="left_semi")
+               .groupBy("id").agg(F.count(F.lit(1)).alias("n_boiler")))
+    return (per_doc.join(per_hot, on="id", how="left")
+            .withColumn("n_boiler", F.coalesce(F.col("n_boiler"),
+                                               F.lit(0).cast("long")))
+            .withColumn("boiler_frac", fp6(
+                (F.col("n_boiler") / F.col("n_shingles")).cast("double")))
+            .select(F.col("id").alias(id_col), "n_shingles", "n_boiler",
+                    "boiler_frac"))
+
+
+def boilerplate_sql(inner: str = "documents", id_col: str = "doc_id",
+                    text: str = "text", n: int = 2,
+                    min_df: float = 0.05) -> str:
+    """DuckDB oracle twin of boilerplate_stats."""
+    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
+    shingle = (f"list_distinct(list_transform("
+               f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+               f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))")
+    frac = "CAST(coalesce(n_boiler, 0) AS DOUBLE) / n_shingles"
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, unnest({shingle}) AS shingle FROM {inner}
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= greatest(2, ceil({min_df} *
+         (SELECT count(*) FROM {inner})))
+), per_doc AS (
+  SELECT id, count(*) AS n_shingles FROM sh GROUP BY id
+), per_hot AS (
+  SELECT id, count(*) AS n_boiler FROM sh JOIN hot USING (shingle)
+  GROUP BY id
+)
+SELECT per_doc.id AS {id_col}, n_shingles,
+       CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+       {fp6_sql(frac)} AS boiler_frac
+FROM per_doc LEFT JOIN per_hot USING (id)
+"""

@@ -285,3 +285,36 @@ def test_canonical_url_idempotent(spark):
     twice = with_canonical_url(once)
     diff = twice.filter(F.col("url") != F.col("canon_url")).count()
     assert diff == 0
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_planted_banner(spark):
+    """A banner shared by most docs is flagged; unique tails are not."""
+    from geohash_dotnet_spark.operators import boilerplate_stats
+
+    banner = "accept all cookies to continue"
+    rows = [(i, f"{banner} unique{i} tail{i} words{i}") for i in range(10)]
+    rows.append((99, "totally unrelated text about nothing shared here"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in boilerplate_stats(df, n=2, min_df=0.5).collect()}
+    # banner bigrams (4 of them) appear in 10 of 11 docs >= ceil(5.5)=6;
+    # every other bigram is doc-unique
+    assert out[0]["n_boiler"] == 4
+    assert out[0]["n_shingles"] == 7
+    assert out[99]["n_boiler"] == 0
+    assert out[99]["boiler_frac"] == 0.0
+
+
+def test_boilerplate_hot_set_is_broadcast(docs):
+    """The per-doc recount joins against a BROADCAST hot set — the
+    pairs side must not be shuffled into a sort-merge/hash exchange
+    for that join."""
+    from geohash_dotnet_spark.operators import boilerplate_stats
+
+    plan = (boilerplate_stats(docs, n=2, min_df=0.05)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
