@@ -85,6 +85,9 @@ from geohash_dotnet_spark.operators.pipeline import (  # noqa: E402
     repetition_sql,
     stratified_sample_sql,
 )
+from geohash_dotnet_spark.operators.hotspots import (  # noqa: E402
+    focal_hotspots_sql,
+)
 from geohash_dotnet_spark.operators.sessions import sessionize_sql  # noqa: E402
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
@@ -583,6 +586,18 @@ def q_tile_smooth(spark, sf_dir):
             .orderBy("tile"))
 
 
+def q_tile_hotspots(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores over p3 tile page counts: the
+    focal neighborhood sum scored against global moments (exact-integer
+    sums broadcast as one row). Neighborhood expansion runs on the
+    aggregated tile set, never the corpus."""
+    from geohash_dotnet_spark.operators import focal_hotspots
+
+    pg = with_geohash(_pages(spark, sf_dir), "lat", "lon", 3)
+    tiles = pg.groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
+    return focal_hotspots(tiles, cell_col="gh", value_col="n").orderBy("gh")
+
+
 def q_tile_trend(spark, sf_dir):
     """Geo-temporal trend: per-tile daily event counts with the
     day-over-day delta (lag over the PRESENT days per tile). The window
@@ -1054,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_tracks": q_cover_tracks,
         "tile_smooth": q_tile_smooth,
         "tile_trend": q_tile_trend,
+        "tile_hotspots": q_tile_hotspots,
         "tile_quality_dist": q_tile_quality_dist,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -1314,6 +1330,17 @@ def oracle_sql() -> dict[str, str]:
             f"GROUP BY p.t) f ON f.t = tiles3.gh "
             f"ORDER BY tile"),
         "tile_trend": _tile_trend_sql(),
+        "tile_hotspots": (
+            "SELECT * FROM (" + focal_hotspots_sql(
+                tiles_cte=(
+                    f"SELECT gh, CAST(count(*) AS BIGINT) AS n "
+                    f"FROM ({pages_tagged_sql(3, REP)}) GROUP BY gh"),
+                pairs_cte=(
+                    f"SELECT DISTINCT t, s FROM ("
+                    f"SELECT src AS t, neighbor AS s FROM "
+                    f"({tagged_select_sql(nb_pts, 3, keep='src', out='neighbor')}) "
+                    f"UNION ALL SELECT gh AS t, gh AS s FROM tiles)"))
+            + ") ORDER BY gh"),
         "tile_quality_dist": (
             f"SELECT gh AS tile, CAST(count(*) AS BIGINT) AS n_pages, "
             f"{fp6_sql('quantile_cont(quality_score, 0.5)')} AS median_q, "
