@@ -87,6 +87,7 @@ from geohash_dotnet_spark.operators.pipeline import (  # noqa: E402
 )
 from geohash_dotnet_spark.operators.hotspots import (  # noqa: E402
     focal_hotspots_sql,
+    moran_i_sql,
 )
 from geohash_dotnet_spark.operators.sessions import sessionize_sql  # noqa: E402
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
@@ -598,6 +599,17 @@ def q_tile_hotspots(spark, sf_dir):
     return focal_hotspots(tiles, cell_col="gh", value_col="n").orderBy("gh")
 
 
+def q_tile_moran(spark, sf_dir):
+    """Global Moran's I over p3 tile page counts: one-row spatial
+    autocorrelation summary (I, E[I], z under normality) computed
+    entirely from exact integer aggregates on the tile table."""
+    from geohash_dotnet_spark.operators import moran_i
+
+    pg = with_geohash(_pages(spark, sf_dir), "lat", "lon", 3)
+    tiles = pg.groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
+    return moran_i(tiles, cell_col="gh", value_col="n")
+
+
 def q_tile_trend(spark, sf_dir):
     """Geo-temporal trend: per-tile daily event counts with the
     day-over-day delta (lag over the PRESENT days per tile). The window
@@ -1070,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_smooth": q_tile_smooth,
         "tile_trend": q_tile_trend,
         "tile_hotspots": q_tile_hotspots,
+        "tile_moran": q_tile_moran,
         "tile_quality_dist": q_tile_quality_dist,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -1159,6 +1172,15 @@ def oracle_sql() -> dict[str, str]:
         f"{center_lat_sql()} + CAST(dlat AS DOUBLE) * (__max_lat - __min_lat) AS lat, "
         f"{center_lng_sql()} + CAST(dlng AS DOUBLE) * (__max_lng - __min_lng) AS lon "
         f"FROM ({dec3}) CROSS JOIN (VALUES {offs}) o(dir, dlat, dlng)")
+    # shared CTE bodies for the p3 tile-analytics oracles (smooth /
+    # hotspots / moran): occupied p3 tiles and their neighbor+self pairs
+    tiles3_cte = (f"SELECT gh, CAST(count(*) AS BIGINT) AS n "
+                  f"FROM ({pages_tagged_sql(3, REP)}) GROUP BY gh")
+    pairs3_cte = (
+        f"SELECT DISTINCT t, s FROM ("
+        f"SELECT src AS t, neighbor AS s FROM "
+        f"({tagged_select_sql(nb_pts, 3, keep='src', out='neighbor')}) "
+        f"UNION ALL SELECT gh AS t, gh AS s FROM tiles)")
     b32_vals = ", ".join(f"('{ch}')" for ch in BASE32)
     dec2d = decoded_select_sql(
         f"SELECT gh FROM ({distinct_cells_sql(2)}) WHERE gh LIKE 'd%'", 2)
@@ -1332,15 +1354,10 @@ def oracle_sql() -> dict[str, str]:
         "tile_trend": _tile_trend_sql(),
         "tile_hotspots": (
             "SELECT * FROM (" + focal_hotspots_sql(
-                tiles_cte=(
-                    f"SELECT gh, CAST(count(*) AS BIGINT) AS n "
-                    f"FROM ({pages_tagged_sql(3, REP)}) GROUP BY gh"),
-                pairs_cte=(
-                    f"SELECT DISTINCT t, s FROM ("
-                    f"SELECT src AS t, neighbor AS s FROM "
-                    f"({tagged_select_sql(nb_pts, 3, keep='src', out='neighbor')}) "
-                    f"UNION ALL SELECT gh AS t, gh AS s FROM tiles)"))
+                tiles_cte=tiles3_cte, pairs_cte=pairs3_cte)
             + ") ORDER BY gh"),
+        "tile_moran": moran_i_sql(tiles_cte=tiles3_cte,
+                                  pairs_cte=pairs3_cte),
         "tile_quality_dist": (
             f"SELECT gh AS tile, CAST(count(*) AS BIGINT) AS n_pages, "
             f"{fp6_sql('quantile_cont(quality_score, 0.5)')} AS median_q, "

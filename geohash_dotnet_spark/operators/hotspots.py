@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from ..functions.udfs import gh_neighbors
 from .text import fp6, fp6_sql
 
-__all__ = ["focal_hotspots", "focal_hotspots_sql"]
+__all__ = ["focal_hotspots", "focal_hotspots_sql",
+           "moran_i", "moran_i_sql"]
 
 
 def focal_hotspots(tiles: DataFrame, cell_col: str = "gh",
@@ -77,6 +78,119 @@ def focal_hotspots(tiles: DataFrame, cell_col: str = "gh",
                      F.col("x").alias(value_col),
                      "wx", "w", z.alias("gi_z"))
             .withColumn("hot", (F.col("gi_z") >= F.lit(hot_z)).cast("int")))
+
+
+def moran_i(tiles: DataFrame, cell_col: str = "gh",
+            value_col: str = "n") -> DataFrame:
+    """Global Moran's I spatial autocorrelation over geohash tiles —
+    the corpus-level companion to the per-tile Gi*: one number saying
+    whether tile values cluster at all (I > E[I]) before asking where.
+
+    Binary symmetric queen weights between OCCUPIED tiles (no self);
+    W = number of directed neighbor pairs.
+
+        I   = (n / W) * (sum_ij w_ij (xi-xbar)(xj-xbar)) / (sum_i (xi-xbar)^2)
+        E   = -1 / (n-1)
+        z   = (I - E) / sqrt(Var_N(I))        (normality assumption:
+        Var_N = (n^2*S1 - n*S2 + 3W^2) / ((n^2-1)*W^2) - E^2,
+        with S1 = 2W and S2 = 4*sum_i deg_i^2 for binary symmetric w)
+
+    Portability: every aggregate is an exact integer (pair count, sums
+    of x, x^2, xi*xj over edges, squared degrees), so the cross-engine
+    result is a fixed IEEE expression tree over exact inputs — the
+    DuckDB twin reproduces it bit-for-bit under the fp6 gate. The sums
+    expand the centered products: sum w (xi-m)(xj-m) = sum(xi*xj) -
+    m*(sum xi + sum xj) + m^2*W. Returns ONE row:
+    (n_tiles, w_pairs, moran_i, e_i, z_norm).
+
+    Scale shape: edges = tile-keyed explode+join on the aggregated tile
+    table; three one-row aggregates broadcast-combined. Page count
+    never enters. Caveat: sum(xi*xj) is int64 — at >10^9-count tiles
+    cast ``value_col`` down (e.g. to thousands) before calling.
+    """
+    t = tiles.select(F.col(cell_col).alias("a"),
+                     F.col(value_col).cast("long").alias("xa"))
+    # array_distinct: pole-adjacent cells can bounce two directions onto
+    # the same neighbor — the oracle's DISTINCT pair expansion dedups too
+    edges = (t.withColumn(
+                 "b", F.explode(F.array_distinct(gh_neighbors(F.col("a")))))
+             .join(t.select(F.col("a").alias("b"),
+                            F.col("xa").alias("xb")), "b")
+             .filter(F.col("a") != F.col("b")))
+    pair = edges.agg(F.count(F.lit(1)).alias("w_pairs"),
+                     F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+                     F.sum("xa").alias("sxa"),
+                     F.sum("xb").alias("sxb"))
+    deg = (edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+           .agg(F.sum(F.col("d") * F.col("d")).alias("sdeg2")))
+    glob = t.agg(F.count(F.lit(1)).alias("nt"),
+                 F.sum("xa").alias("sx"),
+                 F.sum(F.col("xa") * F.col("xa")).alias("sxx"))
+    j = pair.crossJoin(deg).crossJoin(glob)
+    # fixed IEEE tree over exact integers — mirrored in moran_i_sql
+    nt = F.col("nt").cast("double")
+    w = F.col("w_pairs").cast("double")
+    mean = F.col("sx") / F.col("nt")
+    num = (F.col("sxy") - mean * (F.col("sxa") + F.col("sxb"))
+           + mean * mean * w)
+    den = F.col("sxx") - mean * F.col("sx")
+    i_val = (nt / w) * (num / den)
+    e_val = F.lit(-1.0) / (nt - F.lit(1.0))
+    s1 = F.lit(2.0) * w
+    s2 = F.lit(4.0) * F.col("sdeg2").cast("double")
+    var_n = ((nt * nt * s1 - nt * s2 + F.lit(3.0) * w * w)
+             / ((nt * nt - F.lit(1.0)) * w * w)) - e_val * e_val
+    z = (i_val - e_val) / F.sqrt(var_n)
+    return j.select(F.col("nt").alias("n_tiles"),
+                    F.col("w_pairs"),
+                    fp6(i_val).alias("moran_i"),
+                    fp6(e_val).alias("e_i"),
+                    fp6(z).alias("z_norm"))
+
+
+def moran_i_sql(tiles_cte: str, pairs_cte: str) -> str:
+    """DuckDB oracle twin of moran_i.
+
+    ``pairs_cte`` is the same tile -> {neighbors + self} expansion the
+    Gi*/smooth oracles use; self pairs are filtered here.
+    """
+    mean = "(CAST(sx AS DOUBLE) / nt)"
+    num = f"(CAST(sxy AS DOUBLE) - {mean} * (sxa + sxb) + {mean} * {mean} * CAST(w_pairs AS DOUBLE))"
+    den = f"(CAST(sxx AS DOUBLE) - {mean} * sx)"
+    i_val = f"((CAST(nt AS DOUBLE) / CAST(w_pairs AS DOUBLE)) * ({num} / {den}))"
+    e_val = "(-1.0 / (CAST(nt AS DOUBLE) - 1.0))"
+    s1 = "(2.0 * CAST(w_pairs AS DOUBLE))"
+    s2 = "(4.0 * CAST(sdeg2 AS DOUBLE))"
+    nt = "CAST(nt AS DOUBLE)"
+    w = "CAST(w_pairs AS DOUBLE)"
+    var_n = (f"(({nt} * {nt} * {s1} - {nt} * {s2} + 3.0 * {w} * {w}) "
+             f"/ (({nt} * {nt} - 1.0) * {w} * {w}) - {e_val} * {e_val})")
+    z = f"(({i_val} - {e_val}) / sqrt({var_n}))"
+    return f"""
+WITH tiles AS ({tiles_cte}), pairs0 AS ({pairs_cte}),
+edges AS (
+  SELECT p.t AS a, ta.n AS xa, p.s AS b, tb.n AS xb
+  FROM pairs0 p JOIN tiles ta ON ta.gh = p.t
+                JOIN tiles tb ON tb.gh = p.s
+  WHERE p.t <> p.s
+), pair AS (
+  SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+         CAST(sum(xa * xb) AS BIGINT) AS sxy,
+         CAST(sum(xa) AS BIGINT) AS sxa, CAST(sum(xb) AS BIGINT) AS sxb
+  FROM edges
+), deg AS (
+  SELECT CAST(sum(d * d) AS BIGINT) AS sdeg2 FROM (
+    SELECT a, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a)
+), gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS nt, CAST(sum(n) AS BIGINT) AS sx,
+         CAST(sum(n * n) AS BIGINT) AS sxx FROM tiles
+)
+SELECT nt AS n_tiles, w_pairs,
+       {fp6_sql(i_val)} AS moran_i,
+       {fp6_sql(e_val)} AS e_i,
+       {fp6_sql(z)} AS z_norm
+FROM pair CROSS JOIN deg CROSS JOIN gstats
+"""
 
 
 def focal_hotspots_sql(tiles_cte: str, pairs_cte: str,

@@ -74,3 +74,37 @@ def test_global_moments_are_broadcast(spark):
             .executedPlan().toString())
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def _scalar_moran(cells: dict[str, int]):
+    n = len(cells)
+    mean = sum(cells.values()) / n
+    edges = [(a, b[0]) for a in cells for b in G.neighbors(a).values()
+             if b[0] in cells and b[0] != a]
+    W = len(edges)
+    num = sum((cells[a] - mean) * (cells[b] - mean) for a, b in edges)
+    den = sum((x - mean) ** 2 for x in cells.values())
+    i_val = (n / W) * num / den
+    e_val = -1.0 / (n - 1)
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    s1, s2 = 2.0 * W, 4.0 * sum(d * d for d in deg.values())
+    var_n = ((n * n * s1 - n * s2 + 3.0 * W * W)
+             / ((n * n - 1.0) * W * W)) - e_val * e_val
+    return i_val, e_val, (i_val - e_val) / math.sqrt(var_n)
+
+
+def test_moran_matches_scalar_reference_and_detects_cluster(spark, planted):
+    from geohash_dotnet_spark.operators import moran_i
+
+    cells, _ = planted
+    df = spark.createDataFrame(list(cells.items()), ["gh", "n"])
+    row = moran_i(df).collect()[0]
+    i_ref, e_ref, z_ref = _scalar_moran(cells)
+    assert row["moran_i"] == pytest.approx(i_ref, abs=2e-6)
+    assert row["e_i"] == pytest.approx(e_ref, abs=2e-6)
+    assert row["z_norm"] == pytest.approx(z_ref, abs=2e-6)
+    # a planted dense block against a uniform ring is strong positive
+    # spatial autocorrelation
+    assert row["moran_i"] > 0.15 and row["z_norm"] > 2.0
