@@ -85,6 +85,7 @@ from geohash_dotnet_spark.operators.pipeline import (  # noqa: E402
     repetition_sql,
     stratified_sample_sql,
 )
+from geohash_dotnet_spark.operators.asof import asof_join_sql  # noqa: E402
 from geohash_dotnet_spark.operators.hotspots import (  # noqa: E402
     focal_hotspots_sql,
     moran_i_sql,
@@ -599,6 +600,28 @@ def q_tile_hotspots(spark, sf_dir):
     return focal_hotspots(tiles, cell_col="gh", value_col="n").orderBy("gh")
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: attach each user's most recent purchase value (and
+    its timestamp) to every non-purchase event, 6h tolerance — the
+    union+window formulation (one key exchange, no join node), checked
+    against DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql import Window
+
+    from geohash_dotnet_spark.operators import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    pur = (ev.filter(F.col("event_type") == "purchase")
+           .withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1).select("user_id", "ts", "value"))
+    lft = (ev.filter(F.col("event_type") != "purchase")
+           .select("event_id", "user_id", "ts", "event_type"))
+    return (asof_join(lft, pur, key="user_id", values=("value",),
+                      tolerance_s=6 * 3600, out_prefix="last_purchase_")
+            .orderBy("event_id"))
+
+
 def q_tile_moran(spark, sf_dir):
     """Global Moran's I over p3 tile page counts: one-row spatial
     autocorrelation summary (I, E[I], z under normality) computed
@@ -1083,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_trend": q_tile_trend,
         "tile_hotspots": q_tile_hotspots,
         "tile_moran": q_tile_moran,
+        "events_asof": q_events_asof,
         "tile_quality_dist": q_tile_quality_dist,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -1358,6 +1382,20 @@ def oracle_sql() -> dict[str, str]:
             + ") ORDER BY gh"),
         "tile_moran": moran_i_sql(tiles_cte=tiles3_cte,
                                   pairs_cte=pairs3_cte),
+        "events_asof": (
+            "SELECT * FROM (" + asof_join_sql(
+                left_cte=("SELECT event_id, user_id, ts, event_type "
+                          "FROM events WHERE event_type <> 'purchase'"),
+                right_cte=(
+                    "SELECT user_id, ts, value FROM ("
+                    "SELECT user_id, ts, value, row_number() OVER ("
+                    "PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn "
+                    "FROM events WHERE event_type = 'purchase') WHERE rn = 1"),
+                key="user_id",
+                left_cols="l.event_id, l.user_id, l.ts, l.event_type",
+                values=("value",), tolerance_s=6 * 3600,
+                out_prefix="last_purchase_")
+            + ") ORDER BY event_id"),
         "tile_quality_dist": (
             f"SELECT gh AS tile, CAST(count(*) AS BIGINT) AS n_pages, "
             f"{fp6_sql('quantile_cont(quality_score, 0.5)')} AS median_q, "

@@ -1,0 +1,70 @@
+"""As-of join (operators/asof.py): union+window formulation vs known
+values, and the no-join-node plan shape."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from geohash_dotnet_spark.operators import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def joined(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T01:00:00")),   # ties a right row exactly
+         (2, 10, _ts("2024-01-01T00:10:00")),   # before any right row
+         (3, 10, _ts("2024-01-01T02:00:00")),   # latest-of-two applies
+         (4, 10, _ts("2024-01-02T09:00:00")),   # beyond 6h tolerance
+         (5, 99, _ts("2024-01-01T02:00:00"))],  # other key: no right rows
+        ["event_id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01T00:30:00"), 7.0),
+         (10, _ts("2024-01-01T01:00:00"), 9.0)],
+        ["k", "ts", "value"])
+    rows = asof_join(left, right, key="k", tolerance_s=6 * 3600).collect()
+    return {r["event_id"]: r.asDict() for r in rows}
+
+
+def test_equal_ts_matches(joined):
+    # >= semantics: a right row AT the left timestamp is taken
+    assert joined[1]["asof_value"] == 9.0
+    assert joined[1]["asof_ts"] == _ts("2024-01-01T01:00:00")
+
+
+def test_no_prior_row_is_null(joined):
+    assert joined[2]["asof_value"] is None
+    assert joined[2]["asof_ts"] is None
+
+
+def test_latest_of_several_wins(joined):
+    assert joined[3]["asof_value"] == 9.0
+
+
+def test_tolerance_nulls_stale_match(joined):
+    assert joined[4]["asof_value"] is None
+    assert joined[4]["asof_ts"] is None
+
+
+def test_keys_are_isolated(joined):
+    assert joined[5]["asof_value"] is None
+
+
+def test_plan_has_no_join_node(spark, sf_small):
+    """The as-of is one key exchange + window — no join operator, so no
+    range-explosion or build-side risk at any scale."""
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    left = (ev.filter(F.col("event_type") != "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "value"))
+    plan = (asof_join(left, right, key="user_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
