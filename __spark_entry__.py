@@ -85,7 +85,10 @@ from geohash_dotnet_spark.operators.pipeline import (  # noqa: E402
     repetition_sql,
     stratified_sample_sql,
 )
-from geohash_dotnet_spark.operators.asof import asof_join_sql  # noqa: E402
+from geohash_dotnet_spark.operators.asof import (  # noqa: E402
+    asof_join_sql,
+    interval_join_sql,
+)
 from geohash_dotnet_spark.operators.hotspots import (  # noqa: E402
     focal_hotspots_sql,
     moran_i_sql,
@@ -622,6 +625,29 @@ def q_events_asof(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def q_events_range(spark, sf_dir):
+    """Range join: every non-purchase event inside any [purchase,
+    purchase+2h) window of the same user — bucket-explode equi-join +
+    exact refine (the temporal covering join), checked against the
+    plain inequality join in DuckDB."""
+    from geohash_dotnet_spark.operators import interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = (ev.filter(F.col("event_type") == "purchase")
+           .select(F.col("event_id").alias("window_id"), "user_id",
+                   F.col("ts").alias("start_ts"),
+                   (F.col("ts") + F.expr("interval 2 hours"))
+                   .alias("end_ts"),
+                   F.col("value").alias("purchase_value")))
+    lft = (ev.filter(F.col("event_type") != "purchase")
+           .select("event_id", "user_id", "ts", "event_type"))
+    return (interval_join(lft, pur, key="user_id")
+            .select("event_id", "user_id", "ts", "event_type",
+                    "window_id", "purchase_value")
+            .orderBy("event_id", "window_id"))
+
+
 def q_tile_moran(spark, sf_dir):
     """Global Moran's I over p3 tile page counts: one-row spatial
     autocorrelation summary (I, E[I], z under normality) computed
@@ -1107,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_hotspots": q_tile_hotspots,
         "tile_moran": q_tile_moran,
         "events_asof": q_events_asof,
+        "events_range_join": q_events_range,
         "tile_quality_dist": q_tile_quality_dist,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -1396,6 +1423,19 @@ def oracle_sql() -> dict[str, str]:
                 values=("value",), tolerance_s=6 * 3600,
                 out_prefix="last_purchase_")
             + ") ORDER BY event_id"),
+        "events_range_join": (
+            "SELECT * FROM (" + interval_join_sql(
+                events_cte=("SELECT event_id, user_id, ts, event_type "
+                            "FROM events WHERE event_type <> 'purchase'"),
+                intervals_cte=(
+                    "SELECT event_id AS window_id, user_id, "
+                    "ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts, "
+                    "value AS purchase_value "
+                    "FROM events WHERE event_type = 'purchase'"),
+                key="user_id",
+                out_cols=("e.event_id, e.user_id, e.ts, e.event_type, "
+                          "iv.window_id, iv.purchase_value"))
+            + ") ORDER BY event_id, window_id"),
         "tile_quality_dist": (
             f"SELECT gh AS tile, CAST(count(*) AS BIGINT) AS n_pages, "
             f"{fp6_sql('quantile_cont(quality_score, 0.5)')} AS median_q, "

@@ -48,7 +48,7 @@ from .pipeline import (  # noqa: F401
     with_canonical_url,
     with_pii_scrubbed,
 )
-from .asof import asof_join  # noqa: F401
+from .asof import asof_join, interval_join  # noqa: F401
 from .hotspots import focal_hotspots, moran_i  # noqa: F401
 from .sessions import sessionize  # noqa: F401
 from .tracks import cover_tracks  # noqa: F401

@@ -38,7 +38,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
@@ -79,6 +79,40 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     return res.select(*out)
 
 
+def interval_join(events: DataFrame, intervals: DataFrame, key: str,
+                  ts: str = "ts", start: str = "start_ts",
+                  end: str = "end_ts", unit: str = "hour") -> DataFrame:
+    """Range (interval-containment) join: each event row matched to
+    EVERY interval of the same key with ``start <= ts < end``.
+
+    Spark plans a raw inequality join as a broadcast-nested-loop or a
+    cartesian — O(|events| x |intervals|) per key. This is the bucketed
+    formulation instead, the temporal analogue of the geohash covering
+    join: truncate the event timestamp to a ``unit`` bucket, explode
+    each interval into the buckets it overlaps, EQUI-join on
+    (key, bucket), then refine with the exact containment predicate.
+    Each (event, interval) pair meets in exactly one bucket — the
+    event's own — so no post-join dedup is needed.
+
+    Plan shape (100 TB): one shuffle keyed (key, bucket) feeding a hash
+    or sort-merge EQUI join; interval blowup is bounded by
+    duration/unit buckets per interval (pick ``unit`` near the typical
+    interval length). No nested-loop node at any input size
+    (plan-asserted in tests). Timestamp math is date_trunc/interval
+    arithmetic — works for TIMESTAMP and TIMESTAMP_NTZ, no session-
+    timezone dependence. The DuckDB twin is the plain inequality join,
+    an independent algorithm validating the bucketed decomposition.
+    """
+    e = events.withColumn("__b", F.date_trunc(unit, F.col(ts)))
+    iv = intervals.withColumn("__b", F.explode(F.sequence(
+        F.date_trunc(unit, F.col(start)),
+        F.date_trunc(unit, F.col(end)),
+        F.expr(f"interval 1 {unit}"))))
+    return (e.join(iv, on=[key, "__b"], how="inner")
+            .filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+            .drop("__b"))
+
+
 def asof_join_sql(left_cte: str, right_cte: str, key: str,
                   left_cols: str, values: Sequence[str] = ("value",),
                   left_ts: str = "ts", right_ts: str = "ts",
@@ -101,4 +135,18 @@ WITH l AS ({left_cte}), r AS ({right_cte})
 SELECT {left_cols}, {vals},
        CASE WHEN {ok} THEN r.{right_ts} END AS {out_prefix}ts
 FROM l ASOF LEFT JOIN r ON {cond}
+"""
+
+
+def interval_join_sql(events_cte: str, intervals_cte: str, key: str,
+                      out_cols: str, ts: str = "ts",
+                      start: str = "start_ts",
+                      end: str = "end_ts") -> str:
+    """DuckDB oracle twin of interval_join: the plain inequality join
+    (safe at oracle scale, independent of the bucketed plan)."""
+    return f"""
+WITH e AS ({events_cte}), iv AS ({intervals_cte})
+SELECT {out_cols}
+FROM e JOIN iv ON e.{key} = iv.{key}
+ AND e.{ts} >= iv.{start} AND e.{ts} < iv.{end}
 """

@@ -68,3 +68,63 @@ def test_plan_has_no_join_node(spark, sf_small):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rjoined(spark):
+    from geohash_dotnet_spark.operators import interval_join
+
+    events = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T01:00:00")),   # exactly at start: IN
+         (2, 10, _ts("2024-01-01T02:30:00")),   # mid-window, crosses the
+                                                 # event's own hour bucket
+         (3, 10, _ts("2024-01-01T03:00:00")),   # exactly at end: OUT
+         (4, 10, _ts("2024-01-01T05:30:00")),   # in the second window only
+         (5, 10, _ts("2024-01-01T09:00:00")),   # outside all windows
+         (6, 99, _ts("2024-01-01T01:30:00"))],  # other key
+        ["event_id", "k", "ts"])
+    win = spark.createDataFrame(
+        [(100, 10, _ts("2024-01-01T01:00:00"), _ts("2024-01-01T03:00:00")),
+         (101, 10, _ts("2024-01-01T02:00:00"), _ts("2024-01-01T06:00:00"))],
+        ["window_id", "k", "start_ts", "end_ts"])
+    rows = interval_join(events, win, key="k").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["event_id"], set()).add(r["window_id"])
+    return out
+
+
+def test_interval_membership(rjoined):
+    assert rjoined.get(1) == {100}          # start inclusive
+    assert rjoined.get(2) == {100, 101}     # overlap: both windows
+    assert rjoined.get(3) == {101}          # end exclusive for 100,
+                                            # still inside 101
+    assert rjoined.get(4) == {101}          # multi-bucket interval
+    assert 5 not in rjoined
+    assert 6 not in rjoined                 # key isolation
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_small):
+    """The bucketed decomposition must plan as an EQUI join — a raw
+    inequality join would fall back to BroadcastNestedLoopJoin and go
+    O(n*m) per key."""
+    from geohash_dotnet_spark.operators import interval_join
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    win = (ev.filter(F.col("event_type") == "purchase")
+           .select(F.col("event_id").alias("window_id"), "user_id",
+                   F.col("ts").alias("start_ts"),
+                   (F.col("ts") + F.expr("interval 2 hours"))
+                   .alias("end_ts")))
+    lft = (ev.filter(F.col("event_type") != "purchase")
+           .select("event_id", "user_id", "ts"))
+    plan = (interval_join(lft, win, key="user_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
