@@ -93,6 +93,7 @@ from geohash_dotnet_spark.operators.hotspots import (  # noqa: E402
     focal_hotspots_sql,
     moran_i_sql,
 )
+from geohash_dotnet_spark.operators.rollup import time_rollup_sql  # noqa: E402
 from geohash_dotnet_spark.operators.sessions import sessionize_sql  # noqa: E402
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
@@ -648,6 +649,18 @@ def q_events_range(spark, sf_dir):
             .orderBy("event_id", "window_id"))
 
 
+def q_events_time_rollup(spark, sf_dir):
+    """Hypertable-style rollup ladder: minute/hour/day event aggregates
+    where hour re-aggregates minutes and day re-aggregates hours — one
+    raw scan, exchange-reused; fixed-point sums keep re-aggregation
+    bit-identical to direct aggregation (the oracle's form)."""
+    from geohash_dotnet_spark.operators import time_rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_rollup(ev).orderBy("level", "bucket")
+
+
 def q_tile_moran(spark, sf_dir):
     """Global Moran's I over p3 tile page counts: one-row spatial
     autocorrelation summary (I, E[I], z under normality) computed
@@ -1134,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_moran": q_tile_moran,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range,
+        "events_time_rollup": q_events_time_rollup,
         "tile_quality_dist": q_tile_quality_dist,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -1436,6 +1450,10 @@ def oracle_sql() -> dict[str, str]:
                 out_cols=("e.event_id, e.user_id, e.ts, e.event_type, "
                           "iv.window_id, iv.purchase_value"))
             + ") ORDER BY event_id, window_id"),
+        "events_time_rollup": (
+            "SELECT * FROM ("
+            + time_rollup_sql("SELECT ts, value FROM events")
+            + ") ORDER BY level, bucket"),
         "tile_quality_dist": (
             f"SELECT gh AS tile, CAST(count(*) AS BIGINT) AS n_pages, "
             f"{fp6_sql('quantile_cont(quality_score, 0.5)')} AS median_q, "

@@ -50,6 +50,7 @@ from .pipeline import (  # noqa: F401
 )
 from .asof import asof_join, interval_join  # noqa: F401
 from .hotspots import focal_hotspots, moran_i  # noqa: F401
+from .rollup import time_rollup  # noqa: F401
 from .sessions import sessionize  # noqa: F401
 from .tracks import cover_tracks  # noqa: F401
 from .text import (  # noqa: F401
