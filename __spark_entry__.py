@@ -592,6 +592,25 @@ def q_tile_smooth(spark, sf_dir):
             .orderBy("tile"))
 
 
+_CITIES = [
+    ("anchorage", 61.22, -149.9), ("delhi", 28.61, 77.21),
+    ("lagos", 6.46, 3.38), ("london", 51.51, -0.13),
+    ("nyc", 40.71, -74.01), ("saopaulo", -23.55, -46.63),
+    ("sydney", -33.87, 151.21), ("tokyo", 35.68, 139.69),
+]
+
+
+def q_nearest_city(spark, sf_dir):
+    """Reverse geocoding: nearest of 8 fixed city sites per page —
+    shuffle-free broadcast-constant argmin projection (array of
+    (dist, name) structs + array_min), vs the DuckDB N x K cross-join
+    QUALIFY argmin."""
+    from geohash_dotnet_spark.operators import nearest_assign
+
+    return (nearest_assign(_pages(spark, sf_dir), _CITIES)
+            .select("url", "site", "dist_m").orderBy("url"))
+
+
 def q_tile_hotspots(spark, sf_dir):
     """Getis-Ord Gi* hotspot z-scores over p3 tile page counts: the
     focal neighborhood sum scored against global moments (exact-integer
@@ -1148,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range_join": q_events_range,
         "events_time_rollup": q_events_time_rollup,
+        "nearest_city": q_nearest_city,
         "tile_quality_dist": q_tile_quality_dist,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -1454,6 +1474,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + time_rollup_sql("SELECT ts, value FROM events")
             + ") ORDER BY level, bucket"),
+        "nearest_city": (lambda cities_vals: (
+            f"WITH pg AS (SELECT url, lat, lon FROM ({pages_sql(REP)})), "
+            f"c(name, clat, clon) AS (VALUES {cities_vals}), "
+            f"d AS (SELECT url, name, "
+            f"{haversine_sql('lat', 'lon', 'clat', 'clon')} AS dist "
+            f"FROM pg CROSS JOIN c) "
+            f"SELECT url, name AS site, {fp6_sql('dist')} AS dist_m "
+            f"FROM d QUALIFY row_number() OVER "
+            f"(PARTITION BY url ORDER BY dist, name) = 1 ORDER BY url"))(
+            ", ".join(f"('{n}', {la}, {lo})" for n, la, lo in _CITIES)),
         "tile_quality_dist": (
             f"SELECT gh AS tile, CAST(count(*) AS BIGINT) AS n_pages, "
             f"{fp6_sql('quantile_cont(quality_score, 0.5)')} AS median_q, "

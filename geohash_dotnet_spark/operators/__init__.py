@@ -17,7 +17,7 @@ from .spatial_join import (  # noqa: F401
 )
 from .grid import cells_to_wkt, gh_grid, pick_grid_precision  # noqa: F401
 from .sketches import approx_tile_stats  # noqa: F401
-from .knn import knn_join  # noqa: F401
+from .knn import knn_join, nearest_assign  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components,
     duplicate_groups,

@@ -131,3 +131,34 @@ def knn_join(spark: SparkSession, points_df: DataFrame, queries: pd.DataFrame,
     if not settled_rows:
         return spark.createDataFrame([], "query_id string, rank int, dist_m double")
     return spark.createDataFrame(settled_rows, out_schema)
+
+
+def nearest_assign(df: DataFrame, sites: list[tuple[str, float, float]],
+                   lat: str = "lat", lon: str = "lon",
+                   out_site: str = "site",
+                   out_dist: str = "dist_m") -> DataFrame:
+    """Reverse geocoding: assign every row to its nearest site
+    (name, lat, lon) by great-circle distance, ties broken by site name.
+
+    The K sites are query-time constants, so the assignment is a pure
+    SHUFFLE-FREE projection — the same argmax lesson the round-2 IVF
+    verdict taught (operators/similarity.py): build an array of
+    (distance, name) structs and take ``array_min`` (lexicographic
+    struct compare = min distance, then name), instead of exploding to
+    N x K rows and ranking with a window. At 100 TB the corpus is
+    scanned once with zero exchanges; K lives in the instruction
+    stream, not in a join side. The DuckDB twin replays the N x K
+    cross join + QUALIFY argmin — an independent relational evaluation
+    of the same haversine doubles (bit-exact twin expression), so the
+    fp6-gated distances and every tie land identically.
+    """
+    cands = F.array(*[
+        F.struct(
+            haversine_m(F.col(lat), F.col(lon),
+                        F.lit(float(slat)), F.lit(float(slon))).alias("d"),
+            F.lit(name).alias("s"))
+        for name, slat, slon in sites])
+    best = F.array_min(cands)
+    from .text import fp6
+    return (df.withColumn(out_site, best["s"])
+            .withColumn(out_dist, fp6(best["d"])))
