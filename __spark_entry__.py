@@ -447,8 +447,20 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    """Quality scoring + heuristic language ID."""
-    return (with_quality(_docs(spark, sf_dir))
+    """Quality scoring + heuristic language ID.
+
+    The input unions in four synthetic LONG documents (text+' '
+    replicated 200x -> always > 8190 bytes) so the packed-lane fast
+    path AND the >8190-byte per-language filter() slow path of
+    with_quality both sit under the driver value gate (round-3 VERDICT
+    item 8 — synthetic docs are otherwise all short)."""
+    docs = _docs(spark, sf_dir)
+    long_docs = (docs.filter(F.col("doc_id") < 4)
+                 .select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                         F.repeat(F.concat(F.col("text"), F.lit(" ")),
+                                  200).alias("text"),
+                         "lang", "source", "n_chars"))
+    return (with_quality(docs.unionByName(long_docs))
             .select("doc_id", "stopword_ratio", "lang_pred", "quality_score")
             .orderBy("doc_id"))
 
@@ -937,10 +949,15 @@ def q_lsh_cosine_topk(spark, sf_dir):
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: shuffle-free coarse clustering,
-    cluster-local near-identical pairs, most-similar-lower-id keep rule."""
+    cluster-local near-identical pairs, most-similar-lower-id keep rule.
+
+    max_cluster_size=20 deliberately ACTIVATES the md5 sub-bucket
+    cluster-size guard at driver scale (500 vectors / 16 centroids
+    ~= 31 per cluster) so the guard itself sits under the value gate."""
     from geohash_dotnet_spark.operators import semantic_dedup
 
-    return semantic_dedup(_emb(spark, sf_dir), threshold=0.4)
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.2,
+                          max_cluster_size=20)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1131,33 +1148,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Key order is load-bearing: the external driver gate value-checks
+    only the FIRST 50 keys (insertion order).  Rotation policy (round-4
+    VERDICT item 2): keys never driver-checked, changed since their last
+    check, or red last round go FIRST; long-green stable keys rotate to
+    the back (each retains a green CORRECTNESS row from the round it was
+    last inside the window).  The local replica
+    (tests/test_entry_oracle.py) always runs ALL keys regardless."""
     return {
+        # --- never driver-checked (r1-r3) or changed-since-check: front
+        "vocab_topk": q_vocab_topk,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "extract_text": q_extract_text,
+        "pack_shards": q_pack_shards,
+        "semantic_dedup": q_semantic_dedup,
+        "ivf_cosine_topk": q_ivf_cosine_topk,          # impl changed in r3
+        "cosine_topk": q_cosine_topk,                  # last checked r2
+        "lsh_cosine_topk": q_lsh_cosine_topk,          # last checked r2
+        "cosine_near_pairs": q_cosine_near_pairs,      # last checked r2
+        "multimodal_features": q_multimodal_features,  # last checked r2
+        "events_windowed_tiles": q_events_windowed_tiles,  # last checked r2
+        "flagship": q_flagship,                        # last checked r2
+        "pricing_summary": q_pricing_summary,          # last checked r2
+        "regional_suppliers": q_regional_suppliers,    # last checked r2
+        "top_customers": q_top_customers,              # last checked r2
+        "url_host_stats": q_url_host_stats,            # RED in r3 (oracle cast)
+        # --- r3-green keys still inside the window
         "gh_encode_p5": q_encode_p5,
-        "gh_decode": q_gh_decode,
-        "gh_bbox": q_gh_bbox,
-        "gh_neighbors": q_gh_neighbors,
-        "gh_neighbor": q_gh_neighbor,
-        "gh_children": q_gh_children,
-        "gh_validity": q_gh_validity,
-        "gh_distance_cells": q_gh_distance_cells,
         "cover_california": q_cover_california,
         "cover_circles_table": q_cover_circles,
-        "geofence_ring": q_geofence_ring,
-        "gh_grid_viewport": q_gh_grid,
-        "salted_join": q_salted_join,
-        "tile_counts_p2": q_tile_counts_p2,
-        "tile_rollup": q_tile_rollup,
-        "spatial_join_rect": q_spatial_join_rect,
         "spatial_join_refined": q_spatial_join_refined,
         "circle_join": q_circle_join,
-        "knn": q_knn,
-        "knn_table": q_knn_table,
         "compress_covering": q_compress_covering,
         "exact_dedup_groups": q_exact_dedup_groups,
         "dedup_clusters": q_dedup_clusters,
         "latest_snapshot": q_latest_snapshot,
         "quadkey_tiles": q_quadkey_tiles,
-        "url_host_stats": q_url_host_stats,
         "event_sessions": q_event_sessions,
         "cover_tracks": q_cover_tracks,
         "tile_smooth": q_tile_smooth,
@@ -1182,21 +1208,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
-        "vocab_topk": q_vocab_topk,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "extract_text": q_extract_text,
-        "pack_shards": q_pack_shards,
-        "cosine_topk": q_cosine_topk,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
-        "cosine_near_pairs": q_cosine_near_pairs,
-        "ivf_cosine_topk": q_ivf_cosine_topk,
-        "semantic_dedup": q_semantic_dedup,
-        "multimodal_features": q_multimodal_features,
-        "events_windowed_tiles": q_events_windowed_tiles,
-        "flagship": q_flagship,
-        "pricing_summary": q_pricing_summary,
-        "regional_suppliers": q_regional_suppliers,
-        "top_customers": q_top_customers,
+        # --- rotated OUT of the window this round (green in r3; stable
+        # since r1 — each key above this line has a driver row <=1 round
+        # old after this round runs)
+        "gh_decode": q_gh_decode,
+        "gh_bbox": q_gh_bbox,
+        "gh_neighbors": q_gh_neighbors,
+        "gh_neighbor": q_gh_neighbor,
+        "gh_children": q_gh_children,
+        "gh_validity": q_gh_validity,
+        "gh_distance_cells": q_gh_distance_cells,
+        "geofence_ring": q_geofence_ring,
+        "gh_grid_viewport": q_gh_grid,
+        "salted_join": q_salted_join,
+        "tile_counts_p2": q_tile_counts_p2,
+        "tile_rollup": q_tile_rollup,
+        "spatial_join_rect": q_spatial_join_rect,
+        "knn": q_knn,
+        "knn_table": q_knn_table,
     }
 
 
@@ -1419,7 +1448,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, "
             f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) AS top_dir, "
             f"count(*) AS n_pages, count(DISTINCT doc_id) AS n_docs, "
-            f"sum(length(text)) AS total_chars "
+            f"CAST(sum(length(text)) AS BIGINT) AS total_chars "
             f"FROM ({pages_sql(REP)}) GROUP BY host, top_dir "
             f"ORDER BY host, top_dir",
         "event_sessions": sessionize_sql(gap_s=1800),
@@ -1511,8 +1540,12 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints":
             f"SELECT id, fp FROM ({winnow_sql()}) ORDER BY id, fp",
         "quality":
-            f"SELECT doc_id, stopword_ratio, lang_pred, quality_score "
-            f"FROM ({quality_sql()}) ORDER BY doc_id",
+            "SELECT doc_id, stopword_ratio, lang_pred, quality_score "
+            "FROM (" + quality_sql(
+                "(SELECT * FROM documents UNION ALL "
+                "SELECT doc_id + 1000000, repeat(text || chr(32), 200), "
+                "lang, source, n_chars FROM documents WHERE doc_id < 4)")
+            + ") ORDER BY doc_id",
         "decontaminate":
             f"SELECT * FROM ({contamination_sql('documents', eval_pred='doc_id % 17 = 0', n=3, threshold=0.2)}) "
             f"ORDER BY doc_id",
@@ -1553,7 +1586,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_cosine_topk": lsh_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
         "cosine_near_pairs": cosine_near_pairs_sql(0.4),
         "ivf_cosine_topk": ivf_cosine_topk_sql(10, [0, 1, 2, 3, 4]),
-        "semantic_dedup": semantic_dedup_sql(threshold=0.4),
+        "semantic_dedup": semantic_dedup_sql(threshold=0.2,
+                                             max_cluster_size=20),
         "flagship":
             f"SELECT substr(gh, 1, 1) AS tile1, lang, count(*) AS n_pages, "
             f"{fp6_sql('CAST(sum(CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0')} AS avg_quality "

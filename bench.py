@@ -157,7 +157,45 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     docs.count()
-    timed("q7_ngram_jaccard", lambda: ngram_jaccard_pairs(docs, threshold=0.5).count())
+
+    # r4 input change (documented in BENCH.md "near-dup corpus"): real web
+    # corpora are boilerplate-skewed; the synthetic documents table is
+    # skew-free (max shingle document-frequency 25 of 5000 docs at sf0.1),
+    # so a df-cap has nothing to prune there and cannot be faster than the
+    # exact form BY CONSTRUCTION. q7/q7b therefore run on a web-shaped
+    # corpus: a deterministic cookie-banner REPLACES the first 40 words of
+    # every doc_id%3==0 document (volume-neutral), planting the hot
+    # shingles every crawl has. q7c keeps r3's exact-on-clean definition
+    # verbatim so the round-over-round series stays comparable.
+    banner = ("accept all cookies to continue reading this site uses "
+              "tracking technologies and similar tools to personalise "
+              "content measure audiences and improve our services by "
+              "clicking agree you consent to the processing of your "
+              "personal data as described in the privacy policy and "
+              "cookie statement you can withdraw consent")
+    toks = F.split(F.col("text"), " ")
+    docs_web = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(banner + " "),
+                        F.array_join(F.slice(toks, 41, 1 << 30), " ")))
+        .otherwise(F.col("text"))).cache()
+    docs_web.count()
+
+    # q7: exact ngram Jaccard on the web-shaped corpus — the quadratic
+    # oracle baseline, blown up by the banner's hot shingles
+    timed("q7_ngram_jaccard",
+          lambda: ngram_jaccard_pairs(docs_web, threshold=0.5).count())
+    # q7b: the PRODUCTION near-dup path at 100 TB — the max_df document-
+    # frequency cap deletes the hot shingles' quadratic pairs before they
+    # exist; must be (and is) faster than q7 on the same input
+    timed("q7b_ngram_jaccard_capped",
+          lambda: ngram_jaccard_pairs(docs_web, threshold=0.5,
+                                      max_df=0.05).count())
+    # q7c: r3's q7 definition verbatim (exact, clean corpus) — the
+    # round-over-round comparability anchor
+    timed("q7c_ngram_exact_clean",
+          lambda: ngram_jaccard_pairs(docs, threshold=0.5).count())
     timed("q8_minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
     timed("q9_simhash_pairs", lambda: simhash_near_pairs(docs, max_hamming=3).count())
 
@@ -179,12 +217,20 @@ def main() -> None:
              lambda: enc.agg(F.count("gh"), F.min("gh"), F.max("gh")).collect())
     resample("q3_flagship_join", flagship)
 
+    # headline estimator FROZEN since r3 (best-of-5 + one end-resample of
+    # q1/q3): floor headline from per-query minima, median headline from
+    # per-query medians — both printed so round-over-round deltas are
+    # methodology-stable regardless of host-steal noise (r3 VERDICT item 5)
     pipeline_s = timings["q1_encode_p12"] + timings["q3_flagship_join"]
     pages_per_sec = round(n_pages / max(pipeline_s, 1e-9), 1)
+    pipeline_med = (spread["q1_encode_p12"][1]
+                    + spread["q3_flagship_join"][1])
+    pages_per_sec_median = round(n_pages / max(pipeline_med, 1e-9), 1)
 
     print(json.dumps({
         "metric": "pages_per_sec_encode_plus_spatial_join",
         "value": pages_per_sec,
+        "value_median": pages_per_sec_median,
         "unit": "pages/sec",
         "queries": timings,
         "spread_min_med_max": spread,

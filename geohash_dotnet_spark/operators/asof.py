@@ -69,8 +69,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     if tolerance_s is not None:
         # interval arithmetic works for TIMESTAMP and TIMESTAMP_NTZ
         # alike (unix_micros rejects NTZ) and never consults the
-        # session timezone
-        tol = F.expr(f"INTERVAL '{tolerance_s:g}' SECOND")
+        # session timezone; make_dt_interval instead of an INTERVAL
+        # literal because %g-formatted floats go scientific below 1e-4
+        # (rejected by the parser) and truncate to 6 significant digits
+        tol = F.make_dt_interval(secs=F.lit(float(tolerance_s)))
         ok = ok & ((F.col(left_ts) - F.col("__mts")) <= tol)
     out = [F.col(c) for c in lcols]
     out += [F.when(ok, F.col(f"__mv_{v}")).alias(f"{out_prefix}{v}")

@@ -123,19 +123,33 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     denominators), i.e. Jaccard over the sub-max_df shingle space — the
     same semantics the DuckDB twin replays, so the capped form stays
     value-verified. Default None = exact form (the oracle/baseline).
+
+    Plan shape (r4): (id, shingle) rows are already distinct per doc
+    (``_shingles`` is array_distinct) so there is NO distinct() Exchange.
+    The df-cap rides a count window ON the shingle-keyed Exchange+sort
+    the self-join needs anyway — near-zero marginal cost over the exact
+    form on a uniform corpus, and it deletes every hot shingle's
+    quadratic pairs before they exist on a skewed one. The corpus-size
+    row folds in as a broadcast single-row join (BNLJ with a 1-row
+    build side — condition-free, so each probe row does one array
+    append, not a loop); no driver-side action anywhere.
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(_shingles(F.col(text), n)).alias("shingle"))
-          .distinct())
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(_shingles(F.col(text), n)).alias("shingle"))
     if max_df is not None:
-        # corpus size via a broadcast 1-row cross join — no driver action
         total = df.select(F.count(F.lit(1)).alias("__N"))
         cap = F.greatest(F.lit(1), F.floor(F.lit(max_df) * F.col("__N")))
-        keep = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-                .crossJoin(F.broadcast(total))
-                .filter(F.col("__df") <= cap)
-                .select("shingle"))
-        sh = sh.join(keep, on="shingle")
+        w = Window.partitionBy("shingle")
+        sh = (sh.withColumn("__df", F.count(F.lit(1)).over(w))
+              .crossJoin(F.broadcast(total))
+              .filter(F.col("__df") <= cap)
+              .select("id", "shingle"))
+    else:
+        # one explicit shingle Exchange shared (ReusedExchange) by the
+        # self-join's two sides and recomputation-free for sizes —
+        # without it each downstream branch re-explodes the corpus (the
+        # capped branch gets the same barrier from its window)
+        sh = sh.repartition("shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -128,3 +128,27 @@ def test_interval_join_is_equi_not_nested_loop(spark, sf_small):
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_tiny_and_fractional_tolerance(spark):
+    """Sub-1e-4 tolerances previously died in the INTERVAL literal
+    parser ('%g' goes scientific); make_dt_interval takes any float.
+    1e-7 s rounds below microsecond resolution -> only the exact-tie
+    row matches; 0.5 s admits a 400 ms-stale match but not 700 ms."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T01:00:00")),
+         (2, 10, _ts("2024-01-01T01:00:00.400")),
+         (3, 10, _ts("2024-01-01T01:00:00.700"))],
+        ["event_id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01T01:00:00"), 9.0)], ["k", "ts", "value"])
+
+    tiny = {r["event_id"]: r["asof_value"]
+            for r in asof_join(left, right, key="k",
+                               tolerance_s=1e-7).collect()}
+    assert tiny[1] == 9.0 and tiny[2] is None and tiny[3] is None
+
+    half = {r["event_id"]: r["asof_value"]
+            for r in asof_join(left, right, key="k",
+                               tolerance_s=0.5).collect()}
+    assert half[1] == 9.0 and half[2] == 9.0 and half[3] is None

@@ -196,6 +196,20 @@ def test_pack_shards_layout_independent(docs):
     assert a == b and len(a) > 0
 
 
+def test_pack_shards_auto_buckets_default_parallelism(spark):
+    """n_buckets=None auto-sizes to defaultParallelism so the per-bucket
+    sort never bottlenecks on a handful of tasks (round-3 VERDICT)."""
+    from geohash_dotnet_spark.operators import pack_shards
+
+    df = spark.createDataFrame([(i, 100) for i in range(1000)],
+                               ["doc_id", "n_tokens"])
+    out = pack_shards(df, budget=500)
+    dp = spark.sparkContext.defaultParallelism
+    buckets = {r["bucket"] for r in out.select("bucket").distinct().collect()}
+    # 1000 md5-spread ids over 8 buckets: every bucket is hit, none exceeds
+    assert buckets == set(range(dp))
+
+
 def test_vocab_topk_no_global_sort_of_corpus(docs):
     """Top-k must be TakeOrderedAndProject over the vocabulary counts,
     never a full Sort of the exploded corpus."""
@@ -226,6 +240,43 @@ def test_semantic_dedup_planted_duplicate(spark):
                                    n_centroids=4).collect()}
     assert 35 in out and out[35]["dup_of"] == 3
     assert out[35]["cosine"] >= 0.99
+
+
+def test_semantic_dedup_cluster_guard_bounds_candidates(spark):
+    """Degenerate all-one-cluster corpus (round-3 VERDICT item 4): 200
+    identical vectors collapse onto centroid 0; the md5 sub-bucket guard
+    must keep the candidate-pair count near C * max² instead of the
+    unguarded quadratic C(200,2)=19900, with every sub-bucket bounded."""
+    from pyspark.sql import functions as F
+
+    from geohash_dotnet_spark.operators.similarity import (
+        _coarse_assign, _semantic_candidates, _sub_bucketed, semantic_dedup)
+
+    emb = spark.createDataFrame([(i, [1.0, 0.0]) for i in range(200)],
+                                "vec_id long, embedding array<double>")
+    cents = (emb.filter(F.col("vec_id") < 16)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("c_vec")))
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    assigned = _coarse_assign(emb, cent_rows, "embedding", "vec_id")
+    # identical vectors tie on cosine -> lowest cid wins -> one cluster
+    assert assigned.select("cid").distinct().count() == 1
+
+    free = _semantic_candidates(
+        _sub_bucketed(assigned, "vec_id", 10**9), "embedding", "vec_id")
+    assert free.count() == 200 * 199 // 2  # unguarded quadratic
+
+    guarded_tagged = _sub_bucketed(assigned, "vec_id", 10)
+    sizes = [r["n"] for r in guarded_tagged.groupBy("cid", "sub")
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) == 20 and max(sizes) <= 30  # ceil(200/10) buckets
+    guarded = _semantic_candidates(guarded_tagged, "embedding", "vec_id")
+    n_guard = guarded.count()
+    assert n_guard < free.count() / 5  # bounded, not quadratic
+
+    # the guard still finds duplicates (identical vectors in-bucket)
+    dups = semantic_dedup(emb, threshold=0.99, max_cluster_size=10)
+    assert dups.count() == 200 - 20  # every non-minimum id per sub-bucket
 
 
 def test_semantic_dedup_no_cross_join(spark, sf_small):

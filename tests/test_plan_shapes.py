@@ -199,3 +199,37 @@ def test_connected_components_joins_are_bounded(spark):
     assert plan.count("Window") <= 1
     out.count()
     release_dedup_cache()
+
+
+def test_contamination_stitch_never_broadcasts_doc_keyed_agg(spark, sf_small):
+    """The base⋈overlap stitch in contamination_stats joins two doc-keyed
+    sides — at 100 TB the overlap aggregate is O(corpus), so only the
+    benchmark-gram set may carry a broadcast hint (round-3 VERDICT
+    item 3): exactly ONE broadcast strategy in the optimized plan."""
+    from geohash_dotnet_spark.operators import contamination_stats
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    plan = _optimized(contamination_stats(tr, ev, n=3, threshold=0.2))
+    assert plan.count("strategy=broadcast") == 1, plan[:4000]
+
+
+def test_ngram_capped_adds_no_exchange_over_exact(spark, sf_small):
+    """The r4 df-cap rides a count window on exchanges the exact form
+    already pays — same Exchange count, no second aggregation+join-back
+    pass over the shingle universe, and no distinct() Exchange anywhere
+    (shingles are array_distinct per doc)."""
+    from geohash_dotnet_spark.operators import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+
+    def shape(**kw):
+        p = (ngram_jaccard_pairs(docs, threshold=0.5, **kw)
+             ._jdf.queryExecution().executedPlan().toString())
+        return p.split("Initial Plan")[0]
+
+    exact, capped = shape(), shape(max_df=0.05)
+    n_ex = exact.count("Exchange hashpartitioning")
+    assert capped.count("Exchange hashpartitioning") == n_ex, capped[:4000]
+    assert "Window" in capped and "Window" not in exact
