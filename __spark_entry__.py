@@ -1113,6 +1113,24 @@ def q_quadkey_tiles(spark, sf_dir):
             .orderBy("quadkey"))
 
 
+def q_domain_quota(spark, sf_dir):
+    """Per-domain document quota: top-3 pages of every (host, source
+    dir) domain by text length (url tiebreak) via the skew-proof
+    two-level tournament; the oracle is the independent one-stage
+    QUALIFY formulation."""
+    from geohash_dotnet_spark.operators import domain_topk
+
+    p = _pages(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    top = F.regexp_extract("url", r"^https?://[^/]+/([^/]+)/", 1)
+    base = p.select(F.concat(host, F.lit("/"), top).alias("domain"),
+                    "url", F.length("text").cast("long").alias("score"))
+    return (domain_topk(base, k=3)
+            .select("domain", F.col("rk").cast("long").alias("rk"),
+                    "url", "score")
+            .orderBy("domain", "rk"))
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1173,12 +1191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_suppliers": q_regional_suppliers,    # last checked r2
         "top_customers": q_top_customers,              # last checked r2
         "url_host_stats": q_url_host_stats,            # RED in r3 (oracle cast)
+        "domain_quota": q_domain_quota,                # NEW in r4
         # --- r3-green keys still inside the window
         "gh_encode_p5": q_encode_p5,
         "cover_california": q_cover_california,
         "cover_circles_table": q_cover_circles,
         "spatial_join_refined": q_spatial_join_refined,
-        "circle_join": q_circle_join,
         "compress_covering": q_compress_covering,
         "exact_dedup_groups": q_exact_dedup_groups,
         "dedup_clusters": q_dedup_clusters,
@@ -1209,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
         # --- rotated OUT of the window this round (green in r3; stable
+        "circle_join": q_circle_join,
         # since r1 — each key above this line has a driver row <=1 round
         # old after this round runs)
         "gh_decode": q_gh_decode,
@@ -1444,6 +1463,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup_clusters_sql(threshold=0.5),
         "latest_snapshot": latest_snapshot_sql(pages_sql(REP)),
         "quadkey_tiles": _quadkey_tiles_sql(),
+        "domain_quota":
+            f"SELECT domain, rk, url, score FROM ("
+            f"SELECT domain, url, score, row_number() OVER ("
+            f"PARTITION BY domain ORDER BY score DESC, url) AS rk FROM ("
+            f"SELECT regexp_extract(url, '^https?://([^/]+)/', 1) || '/' || "
+            f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) AS domain, "
+            f"url, CAST(length(text) AS BIGINT) AS score "
+            f"FROM ({pages_sql(REP)}))) WHERE rk <= 3 ORDER BY domain, rk",
         "url_host_stats":
             f"SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, "
             f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) AS top_dir, "

@@ -42,6 +42,7 @@ from .similarity import (  # noqa: F401
 from .pipeline import (  # noqa: F401
     boilerplate_stats,
     contamination_stats,
+    domain_topk,
     pack_shards,
     repetition_stats,
     stratified_sample,

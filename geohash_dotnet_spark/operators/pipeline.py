@@ -391,6 +391,53 @@ WINDOW w AS (PARTITION BY bucket ORDER BY {id_col}
 
 
 # ---------------------------------------------------------------------------
+# Per-domain quota (skew-proof top-k per key)
+# ---------------------------------------------------------------------------
+
+def domain_topk(df: DataFrame, k: int = 3, domain: str = "domain",
+                score: str = "score", tiebreak: str = "url",
+                n_salt: int = 16) -> DataFrame:
+    """Keep the top ``k`` rows of every ``domain`` by (``score`` desc,
+    ``tiebreak`` asc) — the per-domain document quota every crawl
+    curation pipeline applies (cap any one site's share of the corpus,
+    keeping its best pages).
+
+    Skew-proof two-level tournament: a naive
+    ``row_number() OVER (PARTITION BY domain)`` sorts ALL of a hot
+    domain's rows in one task — at 10^12 pages a single mega-site
+    (10^8+ pages) is a straggler that never finishes. Stage 1 splits
+    each domain into ``n_salt`` deterministic sub-partitions (portable
+    md5 of the tiebreak — layout-independent, no RNG) and takes the
+    top-k of each; stage 2 ranks the <= k*n_salt survivors per domain.
+    EXACT, not approximate: (score, tiebreak) is a total order, and
+    every global top-k row is necessarily in its salt bucket's top-k,
+    so stage 2 sees every true winner. The DuckDB twin is therefore
+    the plain one-stage QUALIFY — an independent formulation, which is
+    exactly what a value oracle should be.
+
+    Plan: two Exchanges (domain+salt, then domain), the second over a
+    <= k*n_salt-rows-per-domain relation; no full-table sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import md5_60bit
+
+    w1 = (Window.partitionBy(domain, "__salt")
+          .orderBy(F.col(score).desc(), F.col(tiebreak).asc()))
+    w2 = (Window.partitionBy(domain)
+          .orderBy(F.col(score).desc(), F.col(tiebreak).asc()))
+    return (df
+            .withColumn("__salt",
+                        F.pmod(md5_60bit(F.col(tiebreak).cast("string")),
+                               F.lit(int(n_salt))))
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .drop("__salt", "__r1"))
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization
 # ---------------------------------------------------------------------------
 

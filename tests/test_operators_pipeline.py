@@ -369,3 +369,58 @@ def test_boilerplate_hot_set_is_broadcast(docs):
     plan = (boilerplate_stats(docs, n=2, min_df=0.05)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# per-domain quota (skew-proof top-k per key)
+# ---------------------------------------------------------------------------
+
+def test_domain_topk_matches_naive_window(spark):
+    """Two-level tournament is EXACT: equals the one-stage window on a
+    skewed corpus (one domain holding 90% of rows), with ties on score
+    broken by the tiebreak column."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from geohash_dotnet_spark.operators import domain_topk
+
+    rows = [("big.example", f"u{i:04d}", i % 7) for i in range(900)]
+    rows += [(f"site{i}.example", f"v{i:04d}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "domain string, url string, score long")
+
+    got = {(r["domain"], r["rk"], r["url"])
+           for r in domain_topk(df, k=3, n_salt=8).collect()}
+    w = Window.partitionBy("domain").orderBy(F.col("score").desc(),
+                                             F.col("url").asc())
+    want = {(r["domain"], r["rk"], r["url"])
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3).collect()}
+    assert got == want and len(got) == 3 + 100
+
+
+def test_domain_topk_stage2_input_is_bounded(spark):
+    """Stage 1 must cut a hot domain to <= k*n_salt survivors before the
+    per-domain ranking — the property that removes the mega-site
+    straggler at 10^12 pages."""
+    from pyspark.sql import functions as F
+
+    from geohash_dotnet_spark.operators import domain_topk
+    from geohash_dotnet_spark.operators.dedup import md5_60bit
+
+    k, n_salt = 2, 4
+    df = spark.createDataFrame(
+        [("hot.example", f"u{i:05d}", i) for i in range(5000)],
+        "domain string, url string, score long")
+    # replicate stage 1 and count survivors per domain
+    from pyspark.sql import Window
+    w1 = (Window.partitionBy("domain", "__salt")
+          .orderBy(F.col("score").desc(), F.col("url").asc()))
+    survivors = (df.withColumn("__salt",
+                               F.pmod(md5_60bit(F.col("url").cast("string")),
+                                      F.lit(n_salt)))
+                 .withColumn("__r1", F.row_number().over(w1))
+                 .filter(F.col("__r1") <= k).count())
+    assert survivors <= k * n_salt
+    out = domain_topk(df, k=k, n_salt=n_salt).collect()
+    assert [r["url"] for r in sorted(out, key=lambda r: r["rk"])] == \
+        ["u04999", "u04998"]
