@@ -875,3 +875,23 @@ def test_write_table_v1_roundtrip_and_iceberg_gate(spark, sf_small,
     with pytest.raises(ValueError,
                        match="runtime jar|configured iceberg"):
         write_table(df, "cat.db.pages", fmt="iceberg")
+
+
+def test_quality_driver_key_exercises_slow_path(spark):
+    """q_quality unions four >8190-byte documents into its input so the
+    with_quality slow branch (per-language filter() instead of the
+    packed-lane aggregate) sits under the driver value gate (round-3
+    VERDICT item 8). Verify those rows exist and carry sane values."""
+    import __spark_entry__ as E
+
+    out = {r["doc_id"]: r.asDict()
+           for r in E.queries()["quality"](spark,
+                                           "/root/testdata/sf0.001").collect()}
+    longs = {k: v for k, v in out.items() if k >= 1_000_000}
+    assert set(longs) == {1_000_000, 1_000_001, 1_000_002, 1_000_003}
+    # a replicated doc has the same stopword ratio as its source doc
+    # (same token distribution), and the predicted language must agree
+    for k, v in longs.items():
+        src = out[k - 1_000_000]
+        assert v["lang_pred"] == src["lang_pred"]
+        assert abs(v["stopword_ratio"] - src["stopword_ratio"]) < 0.02
