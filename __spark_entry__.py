@@ -80,6 +80,7 @@ from geohash_dotnet_spark.operators.multimodal import media_features_sql  # noqa
 from geohash_dotnet_spark.operators.pipeline import (  # noqa: E402
     boilerplate_sql,
     contamination_sql,
+    mixture_weights_sql,
     pack_shards_sql,
     pii_scrub_sql,
     repetition_sql,
@@ -1131,6 +1132,27 @@ def q_domain_quota(spark, sf_dir):
             .orderBy("domain", "rk"))
 
 
+
+def q_domain_mixture(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) domain mixture weights over the
+    crawl's (host, source-dir) domains, weighted by char mass (text
+    lengths differ per domain, so the normalization is exercised
+    non-trivially — doc counts are uniform in the synthetic crawl) —
+    the alpha-sampling rule used to set multi-source / multilingual
+    corpus mixtures. The operator's
+    fp6-quantized integer-sum formulation makes the emitted doubles
+    bit-identical to the DuckDB twin (not merely approximately equal),
+    so the typed value hash is safe."""
+    from geohash_dotnet_spark.operators import mixture_weights
+
+    p = _pages(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    top = F.regexp_extract("url", r"^https?://[^/]+/([^/]+)/", 1)
+    base = p.select(F.concat(host, F.lit("/"), top).alias("domain"),
+                    F.length("text").cast("long").alias("n_chars"))
+    return mixture_weights(base, size_col="n_chars").orderBy("domain")
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1192,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,              # last checked r2
         "url_host_stats": q_url_host_stats,            # RED in r3 (oracle cast)
         "domain_quota": q_domain_quota,                # NEW in r4
+        "domain_mixture": q_domain_mixture,            # NEW in r4
         # --- r3-green keys still inside the window
         "gh_encode_p5": q_encode_p5,
         "cover_california": q_cover_california,
@@ -1471,6 +1494,14 @@ def oracle_sql() -> dict[str, str]:
             f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) AS domain, "
             f"url, CAST(length(text) AS BIGINT) AS score "
             f"FROM ({pages_sql(REP)}))) WHERE rk <= 3 ORDER BY domain, rk",
+        "domain_mixture":
+            mixture_weights_sql(
+                f"(SELECT regexp_extract(url, '^https?://([^/]+)/', 1) "
+                f"|| '/' || "
+                f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) "
+                f"AS domain, CAST(length(text) AS BIGINT) AS n_chars "
+                f"FROM ({pages_sql(REP)}))", size_col="n_chars"
+            ) + " ORDER BY domain",
         "url_host_stats":
             f"SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, "
             f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) AS top_dir, "

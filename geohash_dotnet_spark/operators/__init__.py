@@ -43,6 +43,7 @@ from .pipeline import (  # noqa: F401
     boilerplate_stats,
     contamination_stats,
     domain_topk,
+    mixture_weights,
     pack_shards,
     repetition_stats,
     stratified_sample,

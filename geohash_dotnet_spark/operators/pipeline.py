@@ -48,6 +48,8 @@ __all__ = [
     "canonical_url_sql_expr",
     "boilerplate_stats",
     "boilerplate_sql",
+    "mixture_weights",
+    "mixture_weights_sql",
 ]
 
 
@@ -561,4 +563,93 @@ SELECT per_doc.id AS {id_col}, n_shingles,
        CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
        {fp6_sql(frac)} AS boiler_frac
 FROM per_doc LEFT JOIN per_hot USING (id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixture weights (alpha-sampling)
+# ---------------------------------------------------------------------------
+
+def mixture_weights(df: DataFrame, domain: str = "domain",
+                    alpha: float = 0.5,
+                    size_col: str | None = None) -> DataFrame:
+    """Per-domain sampling weights under temperature ``alpha`` — the
+    mixture rule multi-source / multilingual training corpora use to
+    upweight the tail: ``p_d = c_d**alpha / sum_e(c_e**alpha)`` where
+    ``c_d`` is the domain's doc count (or ``sum(size_col)`` when given,
+    e.g. token mass). ``alpha=1`` reproduces proportional sampling,
+    ``alpha=0`` uniform-over-domains; 0.3-0.7 are the usual corpus
+    temperatures. Output is one row per domain: ``n_docs``/``c`` (the
+    exact mass), ``weight`` (the mixture share), ``natural_share``
+    (c/N), and ``boost`` = weight/natural_share (>1 = upsampled).
+
+    Engine portability (the exact-integer float discipline used by
+    hotspots/time_rollup): the only cross-row float reduction —
+    ``sum(c**alpha)`` — would be summation-order-dependent, so it is
+    replaced by a sum of fp6-quantized BIGINTs
+    ``wq = floor(c**alpha * 1e6 + 0.5)``: integer-exact, order-free,
+    identical on any engine. The emitted doubles are then ONE IEEE
+    expression tree over exact integers, shared verbatim with the
+    DuckDB twin. ``alpha=0.5`` (the default) is computed with
+    ``sqrt``, which IEEE-754 requires to be correctly rounded, so the
+    quantized weights are bit-identical everywhere; other alphas go
+    through ``pow`` (libm, <=1 ulp) and rely on the 1e-6 quantization
+    to absorb it. Headroom: sum(wq) overflows BIGINT only past
+    ~9.2e18, i.e. ~1e8 domains of 1e13 quantized mass — far beyond the
+    100 TB design point.
+
+    Scale: ONE corpus exchange (partial+final count/sum agg keyed by
+    ``domain``); the global (sum(wq), N) is a single-row aggregate of
+    the already-domain-sized relation, stitched back with a broadcast
+    one-row cross join. Output is O(|domains|) and is never re-joined
+    to the corpus here — weight documents downstream with an ordinary
+    co-partitioned join on ``domain``.
+    """
+    mass = (F.sum(F.col(size_col)).cast("long") if size_col
+            else F.count(F.lit(1)))
+    counts = df.groupBy(domain).agg(mass.alias("c"))
+    cd = F.col("c").cast("double")
+    pw = (F.sqrt(cd) if float(alpha) == 0.5
+          else F.pow(cd, F.lit(float(alpha))))
+    qt = counts.withColumn(
+        "__wq", F.floor(pw * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    tot = qt.agg(F.sum("__wq").cast("long").alias("__S"),
+                 F.sum("c").cast("long").alias("__N"))
+    wq, s = F.col("__wq").cast("double"), F.col("__S").cast("double")
+    c, n = F.col("c").cast("double"), F.col("__N").cast("double")
+    return (qt.crossJoin(F.broadcast(tot))
+            .select(domain, F.col("c").alias("n_docs"),
+                    (wq / s).alias("weight"),
+                    (c / n).alias("natural_share"),
+                    ((wq * n) / (s * c)).alias("boost")))
+
+
+def mixture_weights_sql(inner: str = "documents",
+                        domain: str = "domain",
+                        alpha: float = 0.5,
+                        size_col: str | None = None) -> str:
+    """DuckDB oracle twin of :func:`mixture_weights` — the identical
+    quantize-then-integer-sum formulation, so doubles match bit-exact
+    (not merely approximately) at ``alpha=0.5``."""
+    mass = (f"CAST(sum({size_col}) AS BIGINT)" if size_col
+            else "count(*)")
+    pw = ("sqrt(CAST(c AS DOUBLE))" if float(alpha) == 0.5
+          else f"pow(CAST(c AS DOUBLE), {float(alpha)!r})")
+    return f"""
+WITH counts AS (
+  SELECT {domain}, {mass} AS c FROM {inner} GROUP BY {domain}
+), qt AS (
+  SELECT {domain}, c,
+         CAST(floor({pw} * 1e6 + 0.5) AS BIGINT) AS wq
+  FROM counts
+), tot AS (
+  SELECT CAST(sum(wq) AS BIGINT) AS s, CAST(sum(c) AS BIGINT) AS n
+  FROM qt
+)
+SELECT {domain}, c AS n_docs,
+       CAST(wq AS DOUBLE) / CAST(s AS DOUBLE) AS weight,
+       CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS natural_share,
+       (CAST(wq AS DOUBLE) * CAST(n AS DOUBLE))
+         / (CAST(s AS DOUBLE) * CAST(c AS DOUBLE)) AS boost
+FROM qt CROSS JOIN tot
 """

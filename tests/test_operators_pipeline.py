@@ -424,3 +424,59 @@ def test_domain_topk_stage2_input_is_bounded(spark):
     out = domain_topk(df, k=k, n_salt=n_salt).collect()
     assert [r["url"] for r in sorted(out, key=lambda r: r["rk"])] == \
         ["u04999", "u04998"]
+
+
+def test_mixture_weights_known_values(spark):
+    """alpha=0.5 weights on a 40/10/1 corpus: sqrt masses 2e6/1e6 + the
+    singleton; weights sum to 1 and the tail domain is boosted."""
+    from geohash_dotnet_spark.operators import mixture_weights
+
+    rows = ([("a",)] * 40) + ([("b",)] * 10) + [("c",)]
+    df = spark.createDataFrame(rows, "domain string")
+    out = {r["domain"]: r for r in mixture_weights(df).collect()}
+    wq = {d: round((n ** 0.5) * 1e6) for d, n in
+          {"a": 40, "b": 10, "c": 1}.items()}
+    s = sum(wq.values())
+    for d in "abc":
+        assert out[d]["weight"] == wq[d] / s
+        assert out[d]["natural_share"] == {"a": 40, "b": 10, "c": 1}[d] / 51
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-12
+    assert out["c"]["boost"] > 1.0 > out["a"]["boost"]
+
+
+def test_mixture_weights_alpha1_is_proportional(spark):
+    """alpha=1 must reproduce natural shares EXACTLY (quantization is
+    lossless for integer masses), boost == 1 for every domain."""
+    from geohash_dotnet_spark.operators import mixture_weights
+
+    df = spark.range(300).selectExpr("CAST(id % 7 AS STRING) AS domain")
+    for r in mixture_weights(df, alpha=1.0).collect():
+        assert r["weight"] == r["natural_share"]
+        assert r["boost"] == 1.0
+
+
+def test_mixture_weights_size_col_mass(spark):
+    """size_col switches the mass from doc count to token mass."""
+    from geohash_dotnet_spark.operators import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 90), ("a", 10), ("b", 25)], "domain string, n_tokens int")
+    out = {r["domain"]: r for r in
+           mixture_weights(df, alpha=1.0, size_col="n_tokens").collect()}
+    assert out["a"]["n_docs"] == 100 and out["b"]["n_docs"] == 25
+    assert out["a"]["weight"] == 0.8 and out["b"]["weight"] == 0.2
+
+
+def test_mixture_weights_single_corpus_scan(spark):
+    """The domain agg must be computed ONCE: the global-total branch
+    reuses the domain exchange (ReusedExchange in the final adaptive
+    plan), so the corpus is scanned exactly once at 100 TB."""
+    from geohash_dotnet_spark.operators import mixture_weights
+
+    df = spark.range(500).selectExpr("CAST(id % 13 AS STRING) AS domain")
+    out = mixture_weights(df)
+    out.collect()
+    head = (out._jdf.queryExecution().executedPlan().toString()
+            .split("Initial Plan")[0])
+    assert head.count("Range (0, 500") == 1
+    assert "ReusedExchange" in head
