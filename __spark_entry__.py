@@ -1248,6 +1248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
+        # curation_pipeline is position 51: rotated out by the r4
+        # domain_mixture insertion (green in r3, so its row stays <=2
+        # rounds old; rotate it back inside the window in r5)
         "curation_pipeline": q_curation_pipeline,
         # --- rotated OUT of the window this round (green in r3; stable
         "circle_join": q_circle_join,
