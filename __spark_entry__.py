@@ -84,6 +84,7 @@ from geohash_dotnet_spark.operators.pipeline import (  # noqa: E402
     pack_shards_sql,
     pii_scrub_sql,
     repetition_sql,
+    sample_exact_n_sql,
     stratified_sample_sql,
 )
 from geohash_dotnet_spark.operators.asof import (  # noqa: E402
@@ -1153,6 +1154,23 @@ def q_domain_mixture(spark, sf_dir):
     return mixture_weights(base, size_col="n_chars").orderBy("domain")
 
 
+def q_sample_exact(spark, sf_dir):
+    """Deterministic exact-N corpus sample (the "exactly 137 docs for
+    this ablation, same docs every run" primitive): n smallest rows
+    under the portable md5-60bit hash order, ranks assembled
+    distributively (bucketed two-stage rank — no driver-side
+    TakeOrderedAndProject, no single-partition window). The
+    ``frac_hint`` scan-side cut is exercised here too; the oracle is
+    the independent ONE-window global row_number + QUALIFY
+    formulation, so a hint that dropped a needed row would hash-fail."""
+    from geohash_dotnet_spark.operators import sample_exact_n
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (sample_exact_n(d, n=137, id_col="doc_id",
+                           frac_hint=0.3)
+            .orderBy("rnk"))
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1215,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": q_url_host_stats,            # RED in r3 (oracle cast)
         "domain_quota": q_domain_quota,                # NEW in r4
         "domain_mixture": q_domain_mixture,            # NEW in r4
+        "sample_exact": q_sample_exact,                # NEW in r4
         # --- r3-green keys still inside the window
         "gh_encode_p5": q_encode_p5,
         "cover_california": q_cover_california,
@@ -1247,10 +1266,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
+        # pii_scrub (position 51) and curation_pipeline (52) are
+        # rotated out by the r4 domain_mixture + sample_exact
+        # insertions (both green in r3, so their rows stay <=2 rounds
+        # old; rotate them back inside the window in r5)
         "pii_scrub": q_pii_scrub,
-        # curation_pipeline is position 51: rotated out by the r4
-        # domain_mixture insertion (green in r3, so its row stays <=2
-        # rounds old; rotate it back inside the window in r5)
         "curation_pipeline": q_curation_pipeline,
         # --- rotated OUT of the window this round (green in r3; stable
         "circle_join": q_circle_join,
@@ -1505,6 +1525,12 @@ def oracle_sql() -> dict[str, str]:
                 f"AS domain, CAST(length(text) AS BIGINT) AS n_chars "
                 f"FROM ({pages_sql(REP)}))", size_col="n_chars"
             ) + " ORDER BY domain",
+        "sample_exact":
+            "SELECT * FROM ("
+            + sample_exact_n_sql(
+                inner="(SELECT doc_id, lang FROM documents)",
+                n=137, id_col="doc_id", cols="doc_id, lang")
+            + ") ORDER BY rnk",
         "url_host_stats":
             f"SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, "
             f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) AS top_dir, "

@@ -45,6 +45,7 @@ from .pipeline import (  # noqa: F401
     domain_topk,
     mixture_weights,
     pack_shards,
+    sample_exact_n,
     repetition_stats,
     stratified_sample,
     with_canonical_url,

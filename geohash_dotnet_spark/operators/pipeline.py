@@ -50,6 +50,8 @@ __all__ = [
     "boilerplate_sql",
     "mixture_weights",
     "mixture_weights_sql",
+    "sample_exact_n",
+    "sample_exact_n_sql",
 ]
 
 
@@ -653,3 +655,83 @@ SELECT {domain}, c AS n_docs,
          / (CAST(s AS DOUBLE) * CAST(c AS DOUBLE)) AS boost
 FROM qt CROSS JOIN tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exact-N sample (hash-ordered selection)
+# ---------------------------------------------------------------------------
+
+def sample_exact_n(df: DataFrame, n: int, id_col: str = "doc_id",
+                   salt: str = "sample1", bucket_bits: int = 10,
+                   frac_hint: float | None = None,
+                   margin: float = 2.0) -> DataFrame:
+    """Select EXACTLY ``n`` rows, reproducibly: the ``n`` smallest rows
+    under the portable 60-bit hash order ``(md5_60bit(salt||id), id)``
+    — the "give me exactly 10M docs for this ablation, same docs every
+    run, any cluster, any layout" primitive that rate-based
+    ``stratified_sample`` cannot provide. Output adds ``rnk`` (1-based
+    global rank, BIGINT).
+
+    Scale: a naive ``orderBy(hash).limit(n)`` plans
+    TakeOrderedAndProject — every partition ships its top-``n`` to the
+    DRIVER for the merge, infeasible past n~10^6. A global
+    ``row_number()`` window is worse (single-partition sort). Instead,
+    ranks are assembled distributively, exploiting that the high bits
+    of the hash ARE its order: bucket = top ``bucket_bits`` bits, so
+    every row in bucket b hashes below every row in bucket b+1. One
+    corpus exchange partitions by bucket; within-bucket ``row_number``
+    gives local ranks; per-bucket totals (``max(rn)`` — shuffle-free,
+    already bucket-partitioned) prefix-sum into offsets on a
+    <=2**bucket_bits-row table (broadcast back); global rank = offset
+    + local rank. Rows with local rank > ``n`` are pruned BEFORE the
+    stitch join, so the post-shuffle working set is O(buckets * n),
+    not O(corpus). ``bucket_bits`` is the parallelism knob (2**10
+    sort tasks by default; raise it at 100 TB).
+
+    ``frac_hint`` (optional): when ``n/corpus`` is known approximately,
+    pre-filter to ``hash < 2**60 * frac_hint * margin`` so the sort
+    never sees the bulk of the corpus — a zero-shuffle scan-side cut.
+    With a uniform hash the default 2x margin undershoots with
+    probability < exp(-n/8) (Chernoff); pass ``frac_hint=None`` (the
+    default) for the unconditional exact path. The result is undersized
+    ONLY if the hint understates the true fraction — the caller owns
+    the hint, the operator owns everything else.
+    """
+    from pyspark.sql import Window
+
+    h = md5_60bit(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    src = df.withColumn("__h", h)
+    if frac_hint is not None:
+        cut = min(1.0, float(frac_hint) * float(margin))
+        src = src.filter(F.col("__h") < F.lit(int(cut * float(2 ** 60))))
+    src = src.withColumn(
+        "__b", F.shiftright(F.col("__h"), 60 - int(bucket_bits)))
+    w = (Window.partitionBy("__b")
+         .orderBy(F.col("__h").asc(), F.col(id_col).asc()))
+    ranked = (src.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= int(n)))
+    totals = ranked.groupBy("__b").agg(F.max("__rn").alias("__bn"))
+    wo = (Window.orderBy(F.col("__b").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "__off",
+        F.coalesce(F.sum("__bn").over(wo), F.lit(0)).cast("long"))
+    return (ranked
+            .join(F.broadcast(offsets.select("__b", "__off")), "__b")
+            .withColumn("rnk",
+                        (F.col("__off") + F.col("__rn")).cast("long"))
+            .filter(F.col("rnk") <= int(n))
+            .drop("__h", "__b", "__rn", "__off"))
+
+
+def sample_exact_n_sql(inner: str = "documents", n: int = 100,
+                       id_col: str = "doc_id", salt: str = "sample1",
+                       cols: str = "*") -> str:
+    """DuckDB oracle twin of :func:`sample_exact_n` — the independent
+    ONE-window formulation (plain global row_number + QUALIFY), so the
+    bucketed two-stage rank is checked against a different algorithm,
+    same as domain_topk's oracle strategy."""
+    h = md5_60bit_sql(f"'{salt}' || CAST({id_col} AS VARCHAR)")
+    return (f"SELECT {cols}, CAST(row_number() OVER "
+            f"(ORDER BY {h}, {id_col}) AS BIGINT) AS rnk "
+            f"FROM {inner} QUALIFY rnk <= {int(n)}")

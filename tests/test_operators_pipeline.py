@@ -480,3 +480,75 @@ def test_mixture_weights_single_corpus_scan(spark):
             .split("Initial Plan")[0])
     assert head.count("Range (0, 500") == 1
     assert "ReusedExchange" in head
+
+
+# ---------------------------------------------------------------------------
+# sample_exact_n
+# ---------------------------------------------------------------------------
+
+def test_sample_exact_n_matches_naive_order(docs):
+    """The bucketed two-stage rank must equal the naive global
+    orderBy(hash).limit(n) — same rows, same ranks."""
+    from geohash_dotnet_spark.operators import sample_exact_n
+    from geohash_dotnet_spark.operators.dedup import md5_60bit
+
+    n = 23
+    got = {(r["doc_id"], r["rnk"])
+           for r in sample_exact_n(docs.select("doc_id"), n).collect()}
+    h = md5_60bit(F.concat(F.lit("sample1"),
+                           F.col("doc_id").cast("string")))
+    naive = (docs.select("doc_id").withColumn("__h", h)
+             .orderBy("__h", "doc_id").limit(n).collect())
+    want = {(r["doc_id"], i + 1) for i, r in enumerate(naive)}
+    assert got == want and len(got) == n
+
+
+def test_sample_exact_n_layout_independent(docs):
+    """Same rows + ranks regardless of input partitioning."""
+    from geohash_dotnet_spark.operators import sample_exact_n
+
+    d = docs.select("doc_id")
+    a = {(r["doc_id"], r["rnk"])
+         for r in sample_exact_n(d, 31).collect()}
+    b = {(r["doc_id"], r["rnk"])
+         for r in sample_exact_n(d.repartition(7), 31).collect()}
+    assert a == b
+
+
+def test_sample_exact_n_frac_hint_exact(docs):
+    """The frac_hint scan-side cut must not change the result when the
+    hint is honest (true frac <= hint)."""
+    from geohash_dotnet_spark.operators import sample_exact_n
+
+    d = docs.select("doc_id")
+    total = d.count()
+    n = max(1, total // 10)
+    a = {(r["doc_id"], r["rnk"])
+         for r in sample_exact_n(d, n).collect()}
+    b = {(r["doc_id"], r["rnk"])
+         for r in sample_exact_n(d, n, frac_hint=n / total).collect()}
+    assert a == b and len(a) == n
+
+
+def test_sample_exact_n_oversized_n_returns_all(spark):
+    """n beyond the corpus returns every row with contiguous ranks."""
+    from geohash_dotnet_spark.operators import sample_exact_n
+
+    d = spark.range(40).withColumnRenamed("id", "doc_id")
+    out = sample_exact_n(d, 10_000).collect()
+    assert len(out) == 40
+    assert sorted(r["rnk"] for r in out) == list(range(1, 41))
+
+
+def test_sample_exact_n_no_driver_side_topk(docs):
+    """Scale shape: the plan must NOT contain TakeOrderedAndProject (a
+    driver-side merge of per-partition top-n) nor a global
+    single-partition sort of the corpus; the only unpartitioned window
+    runs over the <=2**bucket_bits-row per-bucket totals."""
+    from geohash_dotnet_spark.operators import sample_exact_n
+
+    out = sample_exact_n(docs.select("doc_id"), 23)
+    out.collect()
+    head = (out._jdf.queryExecution().executedPlan().toString()
+            .split("Initial Plan")[0])
+    assert "TakeOrderedAndProject" not in head
