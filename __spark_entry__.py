@@ -97,6 +97,9 @@ from geohash_dotnet_spark.operators.hotspots import (  # noqa: E402
 )
 from geohash_dotnet_spark.operators.rollup import time_rollup_sql  # noqa: E402
 from geohash_dotnet_spark.operators.sessions import sessionize_sql  # noqa: E402
+from geohash_dotnet_spark.operators.clustering import (  # noqa: E402
+    tile_density_clusters_sql,
+)
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
     cosine_topk_sql,
@@ -1171,6 +1174,20 @@ def q_sample_exact(spark, sf_dir):
             .orderBy("rnk"))
 
 
+def q_tile_clusters(spark, sf_dir):
+    """Grid-density spatial clustering (grid-DBSCAN): dense z=5 tiles
+    (>= 6 pages) connected into hotspot REGIONS via 8-neighbor
+    adjacency + hash-to-min label propagation with pointer jumping.
+    The corpus is touched once (tile agg); everything downstream is
+    tile-bounded. The oracle replays adjacency as a modulo self-join
+    and components as a recursive-CTE min-label closure — a wholly
+    independent algorithm for the same fixpoint."""
+    from geohash_dotnet_spark.operators import tile_density_clusters
+
+    return (tile_density_clusters(_pages(spark, sf_dir), z=5, min_count=6)
+            .orderBy("x", "y"))
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1234,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,                # NEW in r4
         "domain_mixture": q_domain_mixture,            # NEW in r4
         "sample_exact": q_sample_exact,                # NEW in r4
+        "tile_clusters": q_tile_clusters,              # NEW in r4
         # --- r3-green keys still inside the window
         "gh_encode_p5": q_encode_p5,
         "cover_california": q_cover_california,
@@ -1531,6 +1549,11 @@ def oracle_sql() -> dict[str, str]:
                 inner="(SELECT doc_id, lang FROM documents)",
                 n=137, id_col="doc_id", cols="doc_id, lang")
             + ") ORDER BY rnk",
+        "tile_clusters":
+            "SELECT * FROM ("
+            + tile_density_clusters_sql(f"({pages_sql(REP)})",
+                                        z=5, min_count=6)
+            + ") ORDER BY x, y",
         "url_host_stats":
             f"SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, "
             f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) AS top_dir, "

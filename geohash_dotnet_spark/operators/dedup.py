@@ -595,9 +595,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                   .select(F.col("l1.id").alias("id"),
                           F.coalesce(F.col("l2.label"),
                                      F.col("l1.label")).alias("label")))
-        if (it + 1) % 8 == 0:
-            jumped = jumped.localCheckpoint(eager=False)
-        jumped = jumped.persist()
+        # Eager localCheckpoint EVERY round (not persist + periodic
+        # truncation): the jump step embeds the previous round's plan
+        # twice, so the logical tree otherwise doubles per round and
+        # the DRIVER dies on plan analysis for high-diameter graphs
+        # (~2^rounds nodes) long before any executor breaks a sweat.
+        # Checkpointing materializes the (one-row-per-vertex) label
+        # table — the same work the convergence count forced anyway —
+        # and pins every round's plan at constant size.
+        jumped = jumped.localCheckpoint(eager=True)
         changed = (jumped.alias("n")
                    .join(labels.alias("o"), on="id")
                    .filter(F.col("n.label") != F.col("o.label"))
