@@ -100,6 +100,10 @@ from geohash_dotnet_spark.operators.sessions import sessionize_sql  # noqa: E402
 from geohash_dotnet_spark.operators.clustering import (  # noqa: E402
     tile_density_clusters_sql,
 )
+from geohash_dotnet_spark.operators.index import (  # noqa: E402
+    bm25_topk_sql,
+    build_postings_sql,
+)
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
     cosine_topk_sql,
@@ -1188,6 +1192,34 @@ def q_tile_clusters(spark, sf_dir):
             .orderBy("x", "y"))
 
 
+BM25_QUERIES = {"q1": "data quality pipeline", "q2": "spatial index"}
+
+
+def q_postings(spark, sf_dir):
+    """Inverted-index build: sharded posting lists over documents.
+    One corpus exchange (repartition on term) carries the tf agg, the
+    exact-df window, AND the (term, shard) list aggregation — no
+    further Exchange (plan-asserted in pytest). max_df elides
+    stopword-scale terms BEFORE any list is materialized."""
+    from geohash_dotnet_spark.operators import build_postings
+
+    return (build_postings(_docs(spark, sf_dir), n_shards=4, max_df=50)
+            .orderBy("term", "shard"))
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (Lucene-style idf + k1/b saturation) for
+    two keyword queries. Per-term contributions are quantized to
+    integer micro-units and summed as integers, so scores and ranks
+    are addition-order independent and bit-identical to the DuckDB
+    twin; the corpus is never shuffled on the term key (query terms
+    broadcast-restrict the exploded pairs first)."""
+    from geohash_dotnet_spark.operators import bm25_topk
+
+    return (bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=8)
+            .orderBy("qid", "rank"))
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1252,6 +1284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": q_domain_mixture,            # NEW in r4
         "sample_exact": q_sample_exact,                # NEW in r4
         "tile_clusters": q_tile_clusters,              # NEW in r4
+        "postings": q_postings,                        # NEW in r4
+        "bm25_search": q_bm25,                         # NEW in r4
         # --- r3-green keys still inside the window
         "gh_encode_p5": q_encode_p5,
         "cover_california": q_cover_california,
@@ -1281,13 +1315,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "quality": q_quality,
         "decontaminate": q_decontaminate,
+        # --- window boundary: the r4 insertions (domain_quota,
+        # domain_mixture, sample_exact, tile_clusters, postings,
+        # bm25_search) push everything from repetition_stats (position
+        # 51) down out of the 50-key window. All rotated-out keys were
+        # green in r3, so their rows stay <=2 rounds old; rotate them
+        # back inside the window in r5.
         "repetition_stats": q_repetition_stats,
         "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
-        # pii_scrub (position 51) and curation_pipeline (52) are
-        # rotated out by the r4 domain_mixture + sample_exact
-        # insertions (both green in r3, so their rows stay <=2 rounds
-        # old; rotate them back inside the window in r5)
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
         # --- rotated OUT of the window this round (green in r3; stable
@@ -1554,6 +1590,14 @@ def oracle_sql() -> dict[str, str]:
             + tile_density_clusters_sql(f"({pages_sql(REP)})",
                                         z=5, min_count=6)
             + ") ORDER BY x, y",
+        "postings":
+            "SELECT * FROM ("
+            + build_postings_sql(n_shards=4, max_df=50)
+            + ") ORDER BY term, shard",
+        "bm25_search":
+            "SELECT * FROM ("
+            + bm25_topk_sql(BM25_QUERIES, k=8)
+            + ") ORDER BY qid, rank",
         "url_host_stats":
             f"SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, "
             f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) AS top_dir, "
