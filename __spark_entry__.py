@@ -104,6 +104,7 @@ from geohash_dotnet_spark.operators.index import (  # noqa: E402
     bm25_topk_sql,
     build_postings_sql,
 )
+from geohash_dotnet_spark.operators.lm import bigram_ppl_sql  # noqa: E402
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
     cosine_topk_sql,
@@ -1220,6 +1221,17 @@ def q_bm25(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+def q_bigram_ppl(spark, sf_dir):
+    """Self-trained add-k bigram-LM perplexity per document — the
+    CCNet/RedPajama perplexity-filter quality signal. Per-bigram log
+    probabilities are quantized once in the model (integer micro-
+    units); document scores are integer sums, so logprob is bit-exact
+    and ppl fp6-gated against the DuckDB twin."""
+    from geohash_dotnet_spark.operators import bigram_ppl
+
+    return bigram_ppl(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1286,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_clusters": q_tile_clusters,              # NEW in r4
         "postings": q_postings,                        # NEW in r4
         "bm25_search": q_bm25,                         # NEW in r4
+        "bigram_ppl": q_bigram_ppl,                    # NEW in r4
         # --- r3-green keys still inside the window
         "gh_encode_p5": q_encode_p5,
         "cover_california": q_cover_california,
@@ -1317,10 +1330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         # --- window boundary: the r4 insertions (domain_quota,
         # domain_mixture, sample_exact, tile_clusters, postings,
-        # bm25_search) push everything from repetition_stats (position
-        # 51) down out of the 50-key window. All rotated-out keys were
-        # green in r3, so their rows stay <=2 rounds old; rotate them
-        # back inside the window in r5.
+        # bm25_search, bigram_ppl) push everything from decontaminate
+        # (position 51) down out of the 50-key window. All rotated-out
+        # keys were green in r3, so their rows stay <=2 rounds old;
+        # rotate them back inside the window in r5.
         "repetition_stats": q_repetition_stats,
         "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
@@ -1590,6 +1603,10 @@ def oracle_sql() -> dict[str, str]:
             + tile_density_clusters_sql(f"({pages_sql(REP)})",
                                         z=5, min_count=6)
             + ") ORDER BY x, y",
+        "bigram_ppl":
+            "SELECT * FROM ("
+            + bigram_ppl_sql()
+            + ") ORDER BY doc_id",
         "postings":
             "SELECT * FROM ("
             + build_postings_sql(n_shards=4, max_df=50)

@@ -1,0 +1,127 @@
+"""Bigram language-model perplexity scoring — the CCNet/RedPajama-style
+"perplexity filter" quality signal for training-data curation.
+
+Train an add-k-smoothed bigram LM on the corpus and score every
+document's perplexity under it: low-ppl documents look like the corpus
+(fluent prose), high-ppl documents are gibberish/boilerplate/wrong
+language. This is the classic self-supervised quality gate (CCNet
+scores against a held-out KenLM; the self-trained form here is the
+same computation with train == score corpus, which is also how the
+repetition-/boilerplate-heavy outliers are found).
+
+Model: P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V), V = the model's
+vocabulary (distinct tokens across both bigram positions — derived
+from the model itself so both engines compute the identical integer).
+
+Scale shape: token bigrams are exploded in place (no shuffle), counted
+into the model with one (w1,w2)-keyed exchange (map-side partial aggs
+absorb the Zipf head), the vocab-sized context table joins the model
+on w1 (model-sized, never corpus-sized), and scoring is one
+bigram-keyed corpus join + one doc-keyed aggregation. Three
+corpus-scale exchanges total; AQE's skew handling covers the stopword
+bigram head on the scoring join.
+
+Cross-engine floats: each bigram's log-probability is quantized ONCE
+(in the model — floor(ln(p)·1e6 + 0.5) AS BIGINT) and per-document
+scores are INTEGER sums of those micro-units, so they are
+addition-order independent and bit-identical in DuckDB. The final
+perplexity exp(−logprob/n) is one shared IEEE tree over the integer
+pair, fp6-gated (ln/exp carry the documented ≤1-ulp wobble; it
+survives only by straddling a quantization boundary, ~2^-46/row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .index import _dbl
+from .text import _tokens, fp6, fp6_sql
+
+__all__ = ["bigram_ppl", "bigram_ppl_sql"]
+
+_TOKS_SQL_TMPL = "string_split_regex(trim(lower({text})), '\\s+')"
+
+
+def _bigrams(toks):
+    n = F.size(toks)
+    return F.arrays_zip(F.slice(toks, 1, n - 1).alias("w1"),
+                        F.slice(toks, 2, n - 1).alias("w2"))
+
+
+def bigram_ppl(df: DataFrame, id_col: str = "doc_id",
+               text: str = "text", k: float = 0.5) -> DataFrame:
+    """Per-document bigram-LM perplexity (self-trained, add-k).
+
+    Output: id_col, n_bigrams, logprob (sum of per-bigram ln P,
+    micro-unit exact), ppl (fp6). Documents with fewer than two tokens
+    have no bigrams and are excluded.
+    """
+    toks = _tokens(F.col(text))
+    bg = df.select(F.col(id_col).cast("long").alias("id"),
+                   F.explode(_bigrams(toks)).alias("b")) \
+        .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = int(c2.select(F.col("w1").alias("w"))
+                .union(c2.select(F.col("w2").alias("w")))
+                .distinct().count())
+
+    lp = F.log((F.col("c2") + F.expr(_dbl(k)))
+               / (F.col("c1") + F.expr(_dbl(k)) * F.expr(_dbl(vocab))))
+    model = (c2.join(c1, "w1")
+             .select("w1", "w2",
+                     F.floor(lp * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("long").alias("lp_u")))
+
+    scored = (bg.join(model, ["w1", "w2"])
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.sum("lp_u").alias("s_u")))
+    logprob = scored["s_u"].cast("double") / F.lit(1000000.0)
+    return scored.select(
+        F.col("id").alias(id_col), "n_bigrams",
+        logprob.alias("logprob"),
+        fp6(F.exp(-logprob / scored["n_bigrams"].cast("double")))
+        .alias("ppl"))
+
+
+def bigram_ppl_sql(inner: str = "documents", id_col: str = "doc_id",
+                   text: str = "text", k: float = 0.5) -> str:
+    """DuckDB oracle twin of :func:`bigram_ppl` — same model, same
+    micro-unit quantization, same integer sums; V is computed in SQL
+    from the same model table, so it is the identical integer."""
+    toks = _TOKS_SQL_TMPL.format(text=text)
+    kd = _dbl(k)
+    return f"""
+WITH docs AS (
+  SELECT CAST({id_col} AS BIGINT) AS id, {toks} AS toks FROM {inner}
+), pos AS (
+  SELECT id, toks, unnest(range(1, len(toks))) AS i FROM docs
+), bg AS (
+  SELECT id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+), vocab AS (
+  SELECT CAST(count(*) AS BIGINT) AS v FROM (
+    SELECT w1 AS w FROM c2 UNION SELECT w2 AS w FROM c2)
+), model AS (
+  SELECT c2.w1, c2.w2,
+         CAST(floor(ln((c2.c2 + {kd}) /
+                       (c1.c1 + {kd} * CAST((SELECT v FROM vocab) AS DOUBLE)))
+                    * 1000000.0e0 + 0.5e0) AS BIGINT) AS lp_u
+  FROM c2 JOIN c1 ON c1.w1 = c2.w1
+), scored AS (
+  SELECT bg.id, count(*) AS n_bigrams, CAST(sum(m.lp_u) AS BIGINT) AS s_u
+  FROM bg JOIN model m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+  GROUP BY bg.id
+)
+SELECT id AS {id_col}, n_bigrams,
+       CAST(s_u AS DOUBLE) / 1000000.0e0 AS logprob,
+       {fp6_sql('exp(-(CAST(s_u AS DOUBLE) / 1000000.0e0) '
+                '/ CAST(n_bigrams AS DOUBLE))')} AS ppl
+FROM scored
+"""

@@ -1,0 +1,62 @@
+"""Bigram-LM perplexity scoring (operators/lm.py)."""
+
+import math
+
+from geohash_dotnet_spark.operators import bigram_ppl
+
+
+def _hand_score(bigram_counts, context_counts, vocab, doc_bigrams, k=0.5):
+    s_u = 0
+    for b in doc_bigrams:
+        p = (bigram_counts[b] + k) / (context_counts[b[0]] + k * vocab)
+        s_u += math.floor(math.log(p) * 1e6 + 0.5)
+    n = len(doc_bigrams)
+    logprob = s_u / 1e6
+    ppl = math.floor(math.exp(-logprob / n) * 1e6 + 0.5) / 1e6
+    return n, logprob, ppl
+
+
+def test_hand_computed_cell(spark):
+    """Full hand replay of the model and one document's score."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c a")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in bigram_ppl(docs).collect()}
+    c2 = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1, ("c", "a"): 1}
+    c1 = {"a": 3, "b": 2, "c": 1}
+    vocab = 3  # {a, b, c}
+    for doc_id, bgs in [(1, [("a", "b"), ("b", "a"), ("a", "b")]),
+                        (2, [("a", "b"), ("b", "c")]),
+                        (3, [("c", "a")])]:
+        n, logprob, ppl = _hand_score(c2, c1, vocab, bgs)
+        r = out[doc_id]
+        assert r["n_bigrams"] == n
+        assert r["logprob"] == logprob
+        assert r["ppl"] == ppl
+
+
+def test_fluent_beats_gibberish(spark):
+    """A document made of the corpus's common bigrams scores lower
+    perplexity than one made of rare transitions."""
+    base = [(i, "the quick brown fox jumps over the lazy dog") for
+            i in range(20)]
+    docs = spark.createDataFrame(
+        base + [(100, "the quick brown fox"),
+                (101, "dog the over brown")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["ppl"] for r in bigram_ppl(docs).collect()}
+    assert out[100] < out[101]
+
+
+def test_single_token_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens")], "doc_id long, text string")
+    out = bigram_ppl(docs).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
+def test_layout_independent(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    a = sorted(map(tuple, bigram_ppl(docs).collect()))
+    b = sorted(map(tuple, bigram_ppl(docs.repartition(7)).collect()))
+    assert a == b
