@@ -104,6 +104,7 @@ from geohash_dotnet_spark.operators.index import (  # noqa: E402
     bm25_topk_sql,
     build_postings_sql,
 )
+from geohash_dotnet_spark.operators.cdc import snapshot_diff_sql  # noqa: E402
 from geohash_dotnet_spark.operators.lm import bigram_ppl_sql  # noqa: E402
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
@@ -1232,6 +1233,29 @@ def q_bigram_ppl(spark, sf_dir):
     return bigram_ppl(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-to-crawl CDC: both engines deterministically derive a
+    "next crawl" from documents (drop %17 ids, append ' v2' to %13
+    texts, add 20 new ids) and classify every id added / removed /
+    changed / unchanged by content fingerprint — one co-partitioned
+    full-outer join on the id, fingerprints computed in the scan
+    projection so the join never carries text."""
+    from geohash_dotnet_spark.operators import snapshot_diff
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = d.filter(F.col("doc_id") % 17 != 0)
+    new = kept.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")))
+    added = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new page "),
+                 F.col("doc_id").cast("string")).alias("text"))
+    return snapshot_diff(d, new.unionByName(added)).orderBy("doc_id")
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1299,6 +1323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,                        # NEW in r4
         "bm25_search": q_bm25,                         # NEW in r4
         "bigram_ppl": q_bigram_ppl,                    # NEW in r4
+        "snapshot_diff": q_snapshot_diff,              # NEW in r4
+        "quality": q_quality,          # CHANGED in r4 (slow-path doc)
+        "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         # --- r3-green keys still inside the window
         "gh_encode_p5": q_encode_p5,
         "cover_california": q_cover_california,
@@ -1326,14 +1353,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "quality": q_quality,
-        "decontaminate": q_decontaminate,
         # --- window boundary: the r4 insertions (domain_quota,
         # domain_mixture, sample_exact, tile_clusters, postings,
-        # bm25_search, bigram_ppl) push everything from decontaminate
-        # (position 51) down out of the 50-key window. All rotated-out
-        # keys were green in r3, so their rows stay <=2 rounds old;
-        # rotate them back inside the window in r5.
+        # bm25_search, bigram_ppl, snapshot_diff) plus the promoted
+        # r4-changed keys (quality, decontaminate) push everything
+        # from token_stats (position 51) down out of the 50-key
+        # window. All rotated-out keys were green in r3 AND unchanged
+        # since, so their rows stay <=2 rounds old; rotate them back
+        # inside the window in r5.
         "repetition_stats": q_repetition_stats,
         "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
@@ -1606,6 +1633,17 @@ def oracle_sql() -> dict[str, str]:
         "bigram_ppl":
             "SELECT * FROM ("
             + bigram_ppl_sql()
+            + ") ORDER BY doc_id",
+        "snapshot_diff":
+            "SELECT * FROM ("
+            + snapshot_diff_sql(
+                old="(SELECT doc_id, text FROM documents)",
+                new=("(SELECT doc_id, CASE WHEN doc_id % 13 = 0 "
+                     "THEN text || ' v2' ELSE text END AS text "
+                     "FROM documents WHERE doc_id % 17 <> 0 "
+                     "UNION ALL SELECT doc_id + 1000000, "
+                     "'new page ' || CAST(doc_id AS VARCHAR) "
+                     "FROM documents WHERE doc_id < 20)"))
             + ") ORDER BY doc_id",
         "postings":
             "SELECT * FROM ("

@@ -52,6 +52,7 @@ from .pipeline import (  # noqa: F401
     with_pii_scrubbed,
 )
 from .asof import asof_join, interval_join  # noqa: F401
+from .cdc import snapshot_diff  # noqa: F401
 from .clustering import tile_density_clusters  # noqa: F401
 from .index import bm25_topk, build_postings  # noqa: F401
 from .lm import bigram_ppl  # noqa: F401
