@@ -105,6 +105,7 @@ from geohash_dotnet_spark.operators.index import (  # noqa: E402
     build_postings_sql,
 )
 from geohash_dotnet_spark.operators.cdc import snapshot_diff_sql  # noqa: E402
+from geohash_dotnet_spark.operators.flows import tile_flows_sql  # noqa: E402
 from geohash_dotnet_spark.operators.lm import bigram_ppl_sql  # noqa: E402
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
@@ -1256,6 +1257,23 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(d, new.unionByName(added)).orderBy("doc_id")
 
 
+def q_tile_flows(spark, sf_dir):
+    """Origin-destination tile flow matrix over the events stream:
+    per-event deterministic geocode (event_id), per-user time-ordered
+    lag window (event_id tiebreak — deterministic under timestamp
+    ties), self-transitions dropped, flows aggregated on the
+    tiles^2-bounded (from, to) key."""
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+    from geohash_dotnet_spark.operators import tile_flows
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("__eid", F.col("event_id").cast("string")))
+    ev = geocode_from_url(ev, url="__eid")
+    return (tile_flows(ev, precision=2, tiebreak="event_id")
+            .orderBy("from_tile", "to_tile"))
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1324,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25,                         # NEW in r4
         "bigram_ppl": q_bigram_ppl,                    # NEW in r4
         "snapshot_diff": q_snapshot_diff,              # NEW in r4
+        "tile_flows": q_tile_flows,                    # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         # --- r3-green keys still inside the window
@@ -1355,12 +1374,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         # --- window boundary: the r4 insertions (domain_quota,
         # domain_mixture, sample_exact, tile_clusters, postings,
-        # bm25_search, bigram_ppl, snapshot_diff) plus the promoted
-        # r4-changed keys (quality, decontaminate) push everything
-        # from token_stats (position 51) down out of the 50-key
-        # window. All rotated-out keys were green in r3 AND unchanged
-        # since, so their rows stay <=2 rounds old; rotate them back
-        # inside the window in r5.
+        # bm25_search, bigram_ppl, snapshot_diff, tile_flows) plus the
+        # promoted r4-changed keys (quality, decontaminate) push
+        # everything from simhash_pairs (position 51) down out of the
+        # 50-key window. All rotated-out keys were green in r3 AND
+        # unchanged since, so their rows stay <=2 rounds old; rotate
+        # them back inside the window in r5.
         "repetition_stats": q_repetition_stats,
         "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
@@ -1634,6 +1653,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + bigram_ppl_sql()
             + ") ORDER BY doc_id",
+        "tile_flows":
+            "SELECT * FROM ("
+            + tile_flows_sql(
+                "(SELECT user_id, ts, event_id, "
+                + geocode_lat_sql("CAST(event_id AS VARCHAR)")
+                + " AS lat, "
+                + geocode_lon_sql("CAST(event_id AS VARCHAR)")
+                + " AS lon FROM events)",
+                precision=2, tiebreak="event_id")
+            + ") ORDER BY from_tile, to_tile",
         "snapshot_diff":
             "SELECT * FROM ("
             + snapshot_diff_sql(

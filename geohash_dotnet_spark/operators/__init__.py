@@ -54,6 +54,7 @@ from .pipeline import (  # noqa: F401
 from .asof import asof_join, interval_join  # noqa: F401
 from .cdc import snapshot_diff  # noqa: F401
 from .clustering import tile_density_clusters  # noqa: F401
+from .flows import tile_flows  # noqa: F401
 from .index import bm25_topk, build_postings  # noqa: F401
 from .lm import bigram_ppl  # noqa: F401
 from .hotspots import focal_hotspots, moran_i  # noqa: F401
