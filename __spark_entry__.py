@@ -106,6 +106,7 @@ from geohash_dotnet_spark.operators.index import (  # noqa: E402
 )
 from geohash_dotnet_spark.operators.cdc import snapshot_diff_sql  # noqa: E402
 from geohash_dotnet_spark.operators.flows import tile_flows_sql  # noqa: E402
+from geohash_dotnet_spark.operators.kmeans import kmeans_fit_sql  # noqa: E402
 from geohash_dotnet_spark.operators.lm import bigram_ppl_sql  # noqa: E402
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
@@ -1274,6 +1275,20 @@ def q_tile_flows(spark, sf_dir):
             .orderBy("from_tile", "to_tile"))
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (2 rounds, 8 clusters) over the
+    embeddings table — the IVF codebook trainer. Assignment is the
+    shuffle-free literal-codebook argmin; centroid updates are integer
+    micro-unit sums, so every emitted component double is bit-identical
+    to the DuckDB chained-CTE replay (which argmins via join+QUALIFY —
+    an independent formulation)."""
+    from geohash_dotnet_spark.operators import kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    return (kmeans_fit(emb, n_clusters=8, n_iter=2)
+            .orderBy("cluster", "pos"))
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1343,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_ppl": q_bigram_ppl,                    # NEW in r4
         "snapshot_diff": q_snapshot_diff,              # NEW in r4
         "tile_flows": q_tile_flows,                    # NEW in r4
+        "kmeans_codebook": q_kmeans,                   # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         # --- r3-green keys still inside the window
@@ -1374,12 +1390,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         # --- window boundary: the r4 insertions (domain_quota,
         # domain_mixture, sample_exact, tile_clusters, postings,
-        # bm25_search, bigram_ppl, snapshot_diff, tile_flows) plus the
-        # promoted r4-changed keys (quality, decontaminate) push
-        # everything from simhash_pairs (position 51) down out of the
-        # 50-key window. All rotated-out keys were green in r3 AND
-        # unchanged since, so their rows stay <=2 rounds old; rotate
-        # them back inside the window in r5.
+        # bm25_search, bigram_ppl, snapshot_diff, tile_flows,
+        # kmeans_codebook) plus the promoted r4-changed keys (quality,
+        # decontaminate) push everything from minhash_pairs (position
+        # 51) down out of the 50-key window. All rotated-out keys were
+        # green in r3 AND unchanged since, so their rows stay <=2
+        # rounds old; rotate them back inside the window in r5.
         "repetition_stats": q_repetition_stats,
         "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
@@ -1653,6 +1669,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + bigram_ppl_sql()
             + ") ORDER BY doc_id",
+        "kmeans_codebook":
+            "SELECT * FROM ("
+            + kmeans_fit_sql(n_clusters=8, n_iter=2, dim=64)
+            + ") ORDER BY cluster, pos",
         "tile_flows":
             "SELECT * FROM ("
             + tile_flows_sql(
