@@ -1289,6 +1289,19 @@ def q_kmeans(spark, sf_dir):
             .orderBy("cluster", "pos"))
 
 
+def q_sample_exact_by_lang(spark, sf_dir):
+    """Per-group exact quota: EXACTLY 29 documents per language under
+    the portable hash order (the "same 1M docs per language, every
+    run" ablation primitive) — the grouped form of the bucketed
+    two-stage rank, gated against the independent per-group QUALIFY
+    window."""
+    from geohash_dotnet_spark.operators import sample_exact_n
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (sample_exact_n(d, n=29, id_col="doc_id", group_col="lang")
+            .orderBy("lang", "rnk"))
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1359,8 +1372,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,              # NEW in r4
         "tile_flows": q_tile_flows,                    # NEW in r4
         "kmeans_codebook": q_kmeans,                   # NEW in r4
+        "sample_exact_by_lang": q_sample_exact_by_lang,  # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
+        "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,  # CHANGED in r4
         # --- r3-green keys still inside the window
         "gh_encode_p5": q_encode_p5,
         "cover_california": q_cover_california,
@@ -1382,20 +1398,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_rollup": q_events_time_rollup,
         "nearest_city": q_nearest_city,
         "tile_quality_dist": q_tile_quality_dist,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         # --- window boundary: the r4 insertions (domain_quota,
-        # domain_mixture, sample_exact, tile_clusters, postings,
-        # bm25_search, bigram_ppl, snapshot_diff, tile_flows,
-        # kmeans_codebook) plus the promoted r4-changed keys (quality,
-        # decontaminate) push everything from minhash_pairs (position
-        # 51) down out of the 50-key window. All rotated-out keys were
-        # green in r3 AND unchanged since, so their rows stay <=2
-        # rounds old; rotate them back inside the window in r5.
+        # domain_mixture, sample_exact, sample_exact_by_lang,
+        # tile_clusters, postings, bm25_search, bigram_ppl,
+        # snapshot_diff, tile_flows, kmeans_codebook) plus the promoted
+        # r4-changed keys (quality, decontaminate, ngram_jaccard,
+        # ngram_jaccard_capped) push everything from tile_quality_dist
+        # (position 51) down out of the 50-key window. All rotated-out
+        # keys were green in r3 AND unchanged since, so their rows stay
+        # <=2 rounds old; rotate them back inside the window in r5.
         "repetition_stats": q_repetition_stats,
         "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
@@ -1660,6 +1675,13 @@ def oracle_sql() -> dict[str, str]:
                 inner="(SELECT doc_id, lang FROM documents)",
                 n=137, id_col="doc_id", cols="doc_id, lang")
             + ") ORDER BY rnk",
+        "sample_exact_by_lang":
+            "SELECT * FROM ("
+            + sample_exact_n_sql(
+                inner="(SELECT doc_id, lang FROM documents)",
+                n=29, id_col="doc_id", cols="doc_id, lang",
+                group_col="lang")
+            + ") ORDER BY lang, rnk",
         "tile_clusters":
             "SELECT * FROM ("
             + tile_density_clusters_sql(f"({pages_sql(REP)})",

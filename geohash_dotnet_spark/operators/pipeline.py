@@ -664,13 +664,22 @@ FROM qt CROSS JOIN tot
 def sample_exact_n(df: DataFrame, n: int, id_col: str = "doc_id",
                    salt: str = "sample1", bucket_bits: int = 10,
                    frac_hint: float | None = None,
-                   margin: float = 2.0) -> DataFrame:
+                   margin: float = 2.0,
+                   group_col: str | None = None) -> DataFrame:
     """Select EXACTLY ``n`` rows, reproducibly: the ``n`` smallest rows
     under the portable 60-bit hash order ``(md5_60bit(salt||id), id)``
     — the "give me exactly 10M docs for this ablation, same docs every
     run, any cluster, any layout" primitive that rate-based
     ``stratified_sample`` cannot provide. Output adds ``rnk`` (1-based
     global rank, BIGINT).
+
+    ``group_col`` (optional) makes the quota PER GROUP — exactly ``n``
+    rows for every distinct group value ("exactly 1M docs per
+    language"), with ``rnk`` restarting at 1 inside each group. Same
+    plan shape: windows/aggregations key on (group, bucket) and the
+    offset table grows to groups×buckets rows (still broadcast-bounded
+    for enumerable strata like languages/sources — pick rate-based
+    ``stratified_sample`` instead when the stratum space is unbounded).
 
     Scale: a naive ``orderBy(hash).limit(n)`` plans
     TakeOrderedAndProject — every partition ships its top-``n`` to the
@@ -699,6 +708,7 @@ def sample_exact_n(df: DataFrame, n: int, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
+    grp = [group_col] if group_col is not None else []
     h = md5_60bit(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     src = df.withColumn("__h", h)
     if frac_hint is not None:
@@ -706,18 +716,19 @@ def sample_exact_n(df: DataFrame, n: int, id_col: str = "doc_id",
         src = src.filter(F.col("__h") < F.lit(int(cut * float(2 ** 60))))
     src = src.withColumn(
         "__b", F.shiftright(F.col("__h"), 60 - int(bucket_bits)))
-    w = (Window.partitionBy("__b")
+    w = (Window.partitionBy(*grp, "__b")
          .orderBy(F.col("__h").asc(), F.col(id_col).asc()))
     ranked = (src.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= int(n)))
-    totals = ranked.groupBy("__b").agg(F.max("__rn").alias("__bn"))
-    wo = (Window.orderBy(F.col("__b").asc())
+    totals = ranked.groupBy(*grp, "__b").agg(F.max("__rn").alias("__bn"))
+    wo = (Window.partitionBy(*grp).orderBy(F.col("__b").asc())
           .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.withColumn(
         "__off",
         F.coalesce(F.sum("__bn").over(wo), F.lit(0)).cast("long"))
     return (ranked
-            .join(F.broadcast(offsets.select("__b", "__off")), "__b")
+            .join(F.broadcast(offsets.select(*grp, "__b", "__off")),
+                  grp + ["__b"])
             .withColumn("rnk",
                         (F.col("__off") + F.col("__rn")).cast("long"))
             .filter(F.col("rnk") <= int(n))
@@ -726,12 +737,15 @@ def sample_exact_n(df: DataFrame, n: int, id_col: str = "doc_id",
 
 def sample_exact_n_sql(inner: str = "documents", n: int = 100,
                        id_col: str = "doc_id", salt: str = "sample1",
-                       cols: str = "*") -> str:
+                       cols: str = "*",
+                       group_col: str | None = None) -> str:
     """DuckDB oracle twin of :func:`sample_exact_n` — the independent
-    ONE-window formulation (plain global row_number + QUALIFY), so the
-    bucketed two-stage rank is checked against a different algorithm,
-    same as domain_topk's oracle strategy."""
+    ONE-window formulation (plain row_number + QUALIFY, partitioned by
+    the group when given), so the bucketed two-stage rank is checked
+    against a different algorithm, same as domain_topk's oracle
+    strategy."""
     h = md5_60bit_sql(f"'{salt}' || CAST({id_col} AS VARCHAR)")
+    part = f"PARTITION BY {group_col} " if group_col is not None else ""
     return (f"SELECT {cols}, CAST(row_number() OVER "
-            f"(ORDER BY {h}, {id_col}) AS BIGINT) AS rnk "
+            f"({part}ORDER BY {h}, {id_col}) AS BIGINT) AS rnk "
             f"FROM {inner} QUALIFY rnk <= {int(n)}")

@@ -552,3 +552,27 @@ def test_sample_exact_n_no_driver_side_topk(docs):
     head = (out._jdf.queryExecution().executedPlan().toString()
             .split("Initial Plan")[0])
     assert "TakeOrderedAndProject" not in head
+
+
+def test_sample_exact_n_grouped_quota(docs):
+    """group_col: exactly n per group, ranks restarting per group,
+    equal to the per-group naive window."""
+    from pyspark.sql import Window
+    from geohash_dotnet_spark.operators import sample_exact_n
+    from geohash_dotnet_spark.operators.dedup import md5_60bit
+
+    d = docs.select("doc_id", "lang")
+    n = 7
+    got = {(r["lang"], r["doc_id"], r["rnk"])
+           for r in sample_exact_n(d, n, group_col="lang").collect()}
+    h = md5_60bit(F.concat(F.lit("sample1"),
+                           F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    want = {(r["lang"], r["doc_id"], r["rnk"]) for r in
+            d.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= n).collect()}
+    assert got == want
+    per_group = {}
+    for lang, _, _ in got:
+        per_group[lang] = per_group.get(lang, 0) + 1
+    assert all(v == n for v in per_group.values())
