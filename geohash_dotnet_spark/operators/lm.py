@@ -75,10 +75,16 @@ def bigram_ppl(df: DataFrame, id_col: str = "doc_id",
                      F.floor(lp * F.lit(1000000.0) + F.lit(0.5))
                      .cast("long").alias("lp_u")))
 
-    scored = (bg.join(model, ["w1", "w2"])
+    # Pre-aggregate to (doc, distinct bigram, count) BEFORE the model
+    # join: the join then carries one row per distinct bigram per doc
+    # instead of one per occurrence (repetitive documents — exactly the
+    # ones a ppl filter exists to catch — collapse the most), and the
+    # integer score is the exact weighted sum lp_u * cnt.
+    bgc = bg.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (bgc.join(model, ["w1", "w2"])
               .groupBy("id")
-              .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                   F.sum("lp_u").alias("s_u")))
+              .agg(F.sum("cnt").alias("n_bigrams"),
+                   F.sum(F.col("lp_u") * F.col("cnt")).alias("s_u")))
     logprob = scored["s_u"].cast("double") / F.lit(1000000.0)
     return scored.select(
         F.col("id").alias(id_col), "n_bigrams",
