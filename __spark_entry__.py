@@ -107,7 +107,10 @@ from geohash_dotnet_spark.operators.index import (  # noqa: E402
 from geohash_dotnet_spark.operators.cdc import snapshot_diff_sql  # noqa: E402
 from geohash_dotnet_spark.operators.flows import tile_flows_sql  # noqa: E402
 from geohash_dotnet_spark.operators.kmeans import kmeans_fit_sql  # noqa: E402
-from geohash_dotnet_spark.operators.lm import bigram_ppl_sql  # noqa: E402
+from geohash_dotnet_spark.operators.lm import (  # noqa: E402
+    bigram_ppl_sql,
+    collocations_sql,
+)
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
     cosine_topk_sql,
@@ -1302,6 +1305,17 @@ def q_sample_exact_by_lang(spark, sf_dir):
             .orderBy("lang", "rnk"))
 
 
+def q_collocations(spark, sf_dir):
+    """Top-50 PMI collocations (min_count=5) over documents — phrase
+    mining from exact integer counts through one shared IEEE tree;
+    the k-boundary is deterministic because ranking orders by the
+    fp6-quantized integer."""
+    from geohash_dotnet_spark.operators import collocations
+
+    return (collocations(_docs(spark, sf_dir), k=50, min_count=5)
+            .orderBy("w1", "w2"))
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1373,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_flows": q_tile_flows,                    # NEW in r4
         "kmeans_codebook": q_kmeans,                   # NEW in r4
         "sample_exact_by_lang": q_sample_exact_by_lang,  # NEW in r4
+        "collocations": q_collocations,                # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1402,15 +1417,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
-        # --- window boundary: the r4 insertions (domain_quota,
+        # --- window boundary: the 13 r4 insertions (domain_quota,
         # domain_mixture, sample_exact, sample_exact_by_lang,
         # tile_clusters, postings, bm25_search, bigram_ppl,
-        # snapshot_diff, tile_flows, kmeans_codebook) plus the promoted
-        # r4-changed keys (quality, decontaminate, ngram_jaccard,
-        # ngram_jaccard_capped) push everything from tile_quality_dist
-        # (position 51) down out of the 50-key window. All rotated-out
-        # keys were green in r3 AND unchanged since, so their rows stay
-        # <=2 rounds old; rotate them back inside the window in r5.
+        # collocations, snapshot_diff, tile_flows, kmeans_codebook)
+        # plus the promoted r4-changed keys (quality, decontaminate,
+        # ngram_jaccard, ngram_jaccard_capped) push every key from
+        # position 51 down out of the 50-key window — count keys above
+        # to find the live boundary. All rotated-out keys were green in
+        # r3 AND unchanged since, so their rows stay <=2 rounds old;
+        # rotate them back inside the window in r5.
         "repetition_stats": q_repetition_stats,
         "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
@@ -1691,6 +1707,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + bigram_ppl_sql()
             + ") ORDER BY doc_id",
+        "collocations":
+            "SELECT * FROM ("
+            + collocations_sql(k=50, min_count=5)
+            + ") ORDER BY w1, w2",
         "kmeans_codebook":
             "SELECT * FROM ("
             + kmeans_fit_sql(n_clusters=8, n_iter=2, dim=64)

@@ -57,7 +57,7 @@ from .clustering import tile_density_clusters  # noqa: F401
 from .flows import tile_flows  # noqa: F401
 from .index import bm25_topk, build_postings  # noqa: F401
 from .kmeans import kmeans_assign, kmeans_fit  # noqa: F401
-from .lm import bigram_ppl  # noqa: F401
+from .lm import bigram_ppl, collocations  # noqa: F401
 from .hotspots import focal_hotspots, moran_i  # noqa: F401
 from .rollup import time_rollup  # noqa: F401
 from .sessions import sessionize  # noqa: F401

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from .index import _dbl
 from .text import _tokens, fp6, fp6_sql
 
-__all__ = ["bigram_ppl", "bigram_ppl_sql"]
+__all__ = ["bigram_ppl", "bigram_ppl_sql", "collocations", "collocations_sql"]
 
 _TOKS_SQL_TMPL = "string_split_regex(trim(lower({text})), '\\s+')"
 
@@ -130,4 +130,84 @@ SELECT id AS {id_col}, n_bigrams,
        {fp6_sql('exp(-(CAST(s_u AS DOUBLE) / 1000000.0e0) '
                 '/ CAST(n_bigrams AS DOUBLE))')} AS ppl
 FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+def collocations(df: DataFrame, k: int = 50, min_count: int = 5,
+                 id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Top-k adjacent-pair collocations by pointwise mutual information
+    — the classic phrase-mining signal (word2vec-style phrase joining,
+    tokenizer-vocabulary curation).
+
+    PMI(w1, w2) = ln( (c2/T) / ((cl/T) · (cr/T)) ) with c2 the bigram
+    count, cl/cr the counts of w1 as a left element and w2 as a right
+    element, and T the total bigram count — all exact integers, so the
+    double is ONE shared IEEE tree cross-engine. Ranking orders by the
+    fp6-quantized integer (desc, then w1, w2), so the k-boundary is
+    deterministic; rare pairs below ``min_count`` are cut BEFORE the
+    position-total joins (PMI is noise-maximal at c2=1).
+
+    Scale: one corpus-scale bigram-count exchange; everything after is
+    vocabulary-scale (the position totals join the filtered pair table
+    on single-word keys), and the top-k is a TakeOrdered over the
+    min_count-filtered pair table, never the corpus.
+    """
+    toks = _tokens(F.col(text))
+    bg = df.select(F.explode(_bigrams(toks)).alias("b")) \
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    t = int(c2.select(F.sum("n")).collect()[0][0] or 0)
+    cl = c2.groupBy("w1").agg(F.sum("n").alias("cl"))
+    cr = c2.groupBy("w2").agg(F.sum("n").alias("cr"))
+    cand = (c2.filter(F.col("n") >= int(min_count))
+            .join(cl, "w1").join(cr, "w2"))
+    td = F.expr(_dbl(t))
+    pmi = F.log((F.col("n") / td)
+                / ((F.col("cl") / td) * (F.col("cr") / td)))
+    pmi_u = F.floor(pmi * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (cand.withColumn("__u", pmi_u)
+            .orderBy(F.col("__u").desc(), F.col("w1").asc(),
+                     F.col("w2").asc())
+            .limit(int(k))
+            .select("w1", "w2", "n",
+                    (F.col("__u").cast("double") / F.lit(1000000.0))
+                    .alias("pmi")))
+
+
+def collocations_sql(inner: str = "documents", k: int = 50,
+                     min_count: int = 5, id_col: str = "doc_id",
+                     text: str = "text") -> str:
+    """DuckDB oracle twin of :func:`collocations` — T is computed in
+    SQL from the same integers, so the shared PMI tree sees the
+    identical double."""
+    toks = _TOKS_SQL_TMPL.format(text=text)
+    td = "CAST((SELECT t FROM tot) AS DOUBLE)"
+    pmi = (f"ln((n / {td}) / ((cl / {td}) * (cr / {td})))")
+    return f"""
+WITH docs AS (
+  SELECT {toks} AS toks FROM {inner}
+), pos AS (
+  SELECT toks, unnest(range(1, len(toks))) AS i FROM docs
+), bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM pos
+), c2 AS (
+  SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS t FROM c2
+), cl AS (
+  SELECT w1, CAST(sum(n) AS BIGINT) AS cl FROM c2 GROUP BY w1
+), cr AS (
+  SELECT w2, CAST(sum(n) AS BIGINT) AS cr FROM c2 GROUP BY w2
+), cand AS (
+  SELECT c2.w1, c2.w2, c2.n,
+         CAST(floor(({pmi}) * 1000000.0e0 + 0.5e0) AS BIGINT) AS u
+  FROM c2 JOIN cl ON cl.w1 = c2.w1 JOIN cr ON cr.w2 = c2.w2
+  WHERE c2.n >= {int(min_count)}
+)
+SELECT w1, w2, n, CAST(u AS DOUBLE) / 1000000.0e0 AS pmi
+FROM cand ORDER BY u DESC, w1, w2 LIMIT {int(k)}
 """

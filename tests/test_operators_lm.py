@@ -60,3 +60,50 @@ def test_layout_independent(spark, sf_small):
     a = sorted(map(tuple, bigram_ppl(docs).collect()))
     b = sorted(map(tuple, bigram_ppl(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_collocations_planted_phrase(spark):
+    """A phrase whose words only ever appear together sits at the PMI
+    maximum (tied with other always-together pairs, above any pair
+    whose words also occur in other contexts — "the" pairs here)."""
+    from geohash_dotnet_spark.operators import collocations
+
+    filler = "the cat sat on the mat and the dog ran off"
+    docs = spark.createDataFrame(
+        [(i, filler + " kuala lumpur") for i in range(6)],
+        "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           collocations(docs, k=20, min_count=5).collect()}
+    top = max(r["pmi"] for r in out.values())
+    kl = out[("kuala", "lumpur")]
+    assert kl["n"] == 6 and kl["pmi"] == top
+    # pairs involving the 3x-frequent "the" score strictly lower
+    assert out[("the", "cat")]["pmi"] < top
+
+
+def test_collocations_min_count_cuts_rare_pairs(spark):
+    from geohash_dotnet_spark.operators import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "rare pair"), (2, "common duo common duo common duo")],
+        "doc_id long, text string")
+    out = {(r["w1"], r["w2"]) for r in
+           collocations(docs, k=10, min_count=2).collect()}
+    assert ("rare", "pair") not in out
+    assert ("common", "duo") in out
+
+
+def test_collocations_hand_value(spark):
+    """One hand-computed PMI cell under the quantization."""
+    import math
+    from geohash_dotnet_spark.operators import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string")
+    # bigrams: (a,b) x2, (b,a) x2, (a,c) x1 -> T=5
+    out = {(r["w1"], r["w2"]): r for r in
+           collocations(docs, k=10, min_count=1).collect()}
+    t = 5.0
+    pmi_ab = math.log((2 / t) / ((3 / t) * (2 / t)))  # cl(a)=3, cr(b)=2
+    assert out[("a", "b")]["pmi"] == \
+        math.floor(pmi_ab * 1e6 + 0.5) / 1e6
