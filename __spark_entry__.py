@@ -119,6 +119,7 @@ from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     semantic_dedup_sql,
 )
 from geohash_dotnet_spark.operators.text import (  # noqa: E402
+    char_entropy_sql_expr,
     fp6,
     fp6_sql,
     quality_sql,
@@ -1316,6 +1317,16 @@ def q_collocations(spark, sf_dir):
             .orderBy("w1", "w2"))
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-class entropy (letters/digits/whitespace/other) per
+    document — the zero-shuffle gibberish / encoding-junk detector.
+    Three regexp passes + one fixed-order IEEE fold, fp6-gated."""
+    from geohash_dotnet_spark.operators.text import with_char_entropy
+
+    return (with_char_entropy(_docs(spark, sf_dir))
+            .select("doc_id", "char_entropy").orderBy("doc_id"))
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1388,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_codebook": q_kmeans,                   # NEW in r4
         "sample_exact_by_lang": q_sample_exact_by_lang,  # NEW in r4
         "collocations": q_collocations,                # NEW in r4
+        "char_entropy": q_char_entropy,                # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1711,6 +1723,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + collocations_sql(k=50, min_count=5)
             + ") ORDER BY w1, w2",
+        "char_entropy":
+            "SELECT doc_id, " + char_entropy_sql_expr("text")
+            + " AS char_entropy FROM documents ORDER BY doc_id",
         "kmeans_codebook":
             "SELECT * FROM ("
             + kmeans_fit_sql(n_clusters=8, n_iter=2, dim=64)

@@ -304,3 +304,63 @@ def extract_text(df: DataFrame, html: str = "html",
     """
     s = F.decode(F.col(html), "UTF-8")
     return df.withColumn(out, F.regexp_replace(s, "<[^>]*>", ""))
+
+
+# ---------------------------------------------------------------------------
+# Character-class entropy quality signal
+# ---------------------------------------------------------------------------
+
+# Fixed character classes: letters, digits, whitespace, other. A 4-slot
+# histogram keeps the expression tree FAR under the JVM's 64KB codegen
+# method limit (a naive 38-symbol alphabet version blew it — the shared
+# subtrees re-inline at every use site), while still separating prose
+# (letter-heavy, spaced) from base64/hex blobs (letter+digit, no
+# spaces), numeric tables, and binary mojibake (other-heavy).
+_ENTROPY_CLASSES = ["[a-z]", "[0-9]", "[ \\t\\n\\r\\f]"]
+
+
+def with_char_entropy(df: DataFrame, text: str = "text",
+                      out: str = "char_entropy") -> DataFrame:
+    """Shannon entropy (nats) of the per-document character-CLASS
+    distribution (letters / digits / whitespace / other) — the cheap
+    gibberish and encoding-junk detector that complements perplexity
+    filtering. Range [0, ln 4]; normal prose sits near the
+    letters-plus-space two-class mix, base64 and numeric dumps drift.
+
+    Zero shuffle: each class count is length(s) - length(
+    regexp_replace(s, class, '')) on the lowercased text — three fixed
+    string passes plus arithmetic, no explode, no histogram map. The
+    entropy folds over the classes in FIXED order, so the emitted
+    double is engine-identical under the fp6 gate (ln carries the
+    documented <=1-ulp wobble). Empty documents emit 0.0.
+    """
+    low = F.lower(F.col(text))
+    n = F.length(low)
+    counts = [n - F.length(F.regexp_replace(low, cls, ""))
+              for cls in _ENTROPY_CLASSES]
+    other = ((n - counts[0]) - counts[1]) - counts[2]
+    ent = F.lit(0.0)
+    for c in counts + [other]:
+        p = c.cast("double") / n.cast("double")
+        ent = ent + F.when(c > 0, -(p * F.log(p))).otherwise(F.lit(0.0))
+    return df.withColumn(
+        out, F.when(n > 0, fp6(ent)).otherwise(F.lit(0.0)))
+
+
+def char_entropy_sql_expr(text: str = "text") -> str:
+    """DuckDB twin of the with_char_entropy column (same classes, same
+    fixed fold order, same guards)."""
+    low = f"lower({text})"
+    n = f"length({low})"
+    classes = ["[a-z]", "[0-9]", "[ \\t\\n\\r\\f]"]
+    counts = [f"({n} - length(regexp_replace({low}, '{cls}', '', 'g')))"
+              for cls in classes]
+    other = f"((({n} - {counts[0]}) - {counts[1]}) - {counts[2]})"
+    terms = []
+    for c in counts + [other]:
+        p = f"(CAST({c} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        terms.append(f"(CASE WHEN {c} > 0 THEN -({p} * ln({p})) "
+                     f"ELSE 0.0e0 END)")
+    ent = "(((" + terms[0] + " + " + terms[1] + ") + " + terms[2] + ") + " \
+        + terms[3] + ")"
+    return (f"CASE WHEN {n} > 0 THEN {fp6_sql(ent)} ELSE 0.0e0 END")

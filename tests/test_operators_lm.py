@@ -107,3 +107,31 @@ def test_collocations_hand_value(spark):
     pmi_ab = math.log((2 / t) / ((3 / t) * (2 / t)))  # cl(a)=3, cr(b)=2
     assert out[("a", "b")]["pmi"] == \
         math.floor(pmi_ab * 1e6 + 0.5) / 1e6
+
+
+def test_char_entropy_edges_and_order(spark):
+    """Empty -> 0; single-class -> 0; prose > base64-ish > single-class;
+    codegen stays under the method limit (the 38-symbol version did
+    not)."""
+    from geohash_dotnet_spark.operators.text import with_char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "aaaa aaaa".replace(" ", "")),  # letters only
+         (3, "the quick brown fox jumps over 12 lazy dogs"),
+         (4, "TWFkZSB3aXRoIGxvdmUgYnkgYmFzZTY0")],  # base64-ish
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["char_entropy"]
+           for r in with_char_entropy(docs).collect()}
+    assert out[1] == 0.0 and out[2] == 0.0
+    assert out[3] > out[4] > 0.0
+
+
+def test_char_entropy_zero_shuffle(spark, sf_small):
+    from geohash_dotnet_spark.operators.text import with_char_entropy
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = with_char_entropy(docs).select("doc_id", "char_entropy")
+    out.collect()
+    head = (out._jdf.queryExecution().executedPlan().toString()
+            .split("Initial Plan")[0])
+    assert "Exchange" not in head
