@@ -105,7 +105,10 @@ from geohash_dotnet_spark.operators.index import (  # noqa: E402
     build_postings_sql,
 )
 from geohash_dotnet_spark.operators.cdc import snapshot_diff_sql  # noqa: E402
-from geohash_dotnet_spark.operators.flows import tile_flows_sql  # noqa: E402
+from geohash_dotnet_spark.operators.flows import (  # noqa: E402
+    tile_flows_sql,
+    user_mobility_sql,
+)
 from geohash_dotnet_spark.operators.kmeans import kmeans_fit_sql  # noqa: E402
 from geohash_dotnet_spark.operators.lm import (  # noqa: E402
     bigram_ppl_sql,
@@ -1327,6 +1330,21 @@ def q_char_entropy(spark, sf_dir):
             .select("doc_id", "char_entropy").orderBy("doc_id"))
 
 
+def q_user_mobility(spark, sf_dir):
+    """Per-user centroid + radius of gyration over the events stream
+    (per-event deterministic geocode): one user-keyed aggregation of
+    integer-quantized coordinates — exact BIGINT sums, one shared IEEE
+    tree, sqrt is correctly rounded, so every double is bit-identical
+    cross-engine with NO fp6 quantization needed."""
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+    from geohash_dotnet_spark.operators import user_mobility
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("__eid", F.col("event_id").cast("string")))
+    ev = geocode_from_url(ev, url="__eid")
+    return user_mobility(ev).orderBy("user_id")
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1400,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_by_lang": q_sample_exact_by_lang,  # NEW in r4
         "collocations": q_collocations,                # NEW in r4
         "char_entropy": q_char_entropy,                # NEW in r4
+        "user_mobility": q_user_mobility,              # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1730,6 +1749,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + kmeans_fit_sql(n_clusters=8, n_iter=2, dim=64)
             + ") ORDER BY cluster, pos",
+        "user_mobility":
+            "SELECT * FROM ("
+            + user_mobility_sql(
+                "(SELECT user_id, "
+                + geocode_lat_sql("CAST(event_id AS VARCHAR)")
+                + " AS lat, "
+                + geocode_lon_sql("CAST(event_id AS VARCHAR)")
+                + " AS lon FROM events)")
+            + ") ORDER BY user_id",
         "tile_flows":
             "SELECT * FROM ("
             + tile_flows_sql(

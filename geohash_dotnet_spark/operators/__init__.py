@@ -54,7 +54,7 @@ from .pipeline import (  # noqa: F401
 from .asof import asof_join, interval_join  # noqa: F401
 from .cdc import snapshot_diff  # noqa: F401
 from .clustering import tile_density_clusters  # noqa: F401
-from .flows import tile_flows  # noqa: F401
+from .flows import tile_flows, user_mobility  # noqa: F401
 from .index import bm25_topk, build_postings  # noqa: F401
 from .kmeans import kmeans_assign, kmeans_fit  # noqa: F401
 from .lm import bigram_ppl, collocations  # noqa: F401

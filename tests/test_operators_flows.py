@@ -54,3 +54,28 @@ def test_layout_independent(spark):
     b = sorted(map(tuple, tile_flows(df.repartition(7), precision=1,
                                      tiebreak="event_id").collect()))
     assert a == b and a
+
+
+def test_user_mobility_known_values(spark):
+    """Hand-check: centroid and rog of two symmetric points."""
+    from geohash_dotnet_spark.operators import user_mobility
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (1, 12.0, 22.0),   # centroid (11, 21), rog = sqrt(2)
+         (2, 5.0, 5.0)],                     # single point: rog 0
+        "user_id long, lat double, lon double")
+    out = {r["user_id"]: r for r in user_mobility(df).collect()}
+    assert out[1]["c_lat"] == 11.0 and out[1]["c_lon"] == 21.0
+    assert abs(out[1]["rog_deg"] - 2.0 ** 0.5) < 1e-9
+    assert out[2]["rog_deg"] == 0.0 and out[2]["n_events"] == 1
+
+
+def test_user_mobility_layout_independent(spark):
+    from geohash_dotnet_spark.operators import user_mobility
+
+    rows = [(u, 10.0 + 0.01 * s, -40.0 + 0.02 * s)
+            for u in range(10) for s in range(20)]
+    df = spark.createDataFrame(rows, "user_id long, lat double, lon double")
+    a = sorted(map(tuple, user_mobility(df).collect()))
+    b = sorted(map(tuple, user_mobility(df.repartition(7)).collect()))
+    assert a == b
