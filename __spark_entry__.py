@@ -1203,7 +1203,10 @@ def q_tile_clusters(spark, sf_dir):
             .orderBy("x", "y"))
 
 
-BM25_QUERIES = {"q1": "data quality pipeline", "q2": "spatial index"}
+# Terms chosen from the synthetic corpus vocabulary (31 words, all
+# df~390 except the rare "dup" at df~25): q1 exercises multi-term
+# accumulation, q2 the high-idf rare-term contrast.
+BM25_QUERIES = {"q1": "data join fast", "q2": "dup merge"}
 
 
 def q_postings(spark, sf_dir):
@@ -1214,7 +1217,10 @@ def q_postings(spark, sf_dir):
     stopword-scale terms BEFORE any list is materialized."""
     from geohash_dotnet_spark.operators import build_postings
 
-    return (build_postings(_docs(spark, sf_dir), n_shards=4, max_df=50)
+    # no max_df here: the synthetic vocab is 31 near-uniform terms
+    # (df~390), so any useful cap would empty the gate — the elision
+    # path is pinned by test_postings_max_df_elides_stopwords instead
+    return (build_postings(_docs(spark, sf_dir), n_shards=4)
             .orderBy("term", "shard"))
 
 
@@ -1781,7 +1787,7 @@ def oracle_sql() -> dict[str, str]:
             + ") ORDER BY doc_id",
         "postings":
             "SELECT * FROM ("
-            + build_postings_sql(n_shards=4, max_df=50)
+            + build_postings_sql(n_shards=4)
             + ") ORDER BY term, shard",
         "bm25_search":
             "SELECT * FROM ("
