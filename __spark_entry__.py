@@ -71,6 +71,7 @@ from geohash_dotnet_spark.operators import (  # noqa: E402
 )
 from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
     dedup_clusters_sql,
+    duplicate_spans_sql,
     latest_snapshot_sql,
     minhash_lsh_sql,
     ngram_jaccard_sql,
@@ -91,8 +92,13 @@ from geohash_dotnet_spark.operators.asof import (  # noqa: E402
     asof_join_sql,
     interval_join_sql,
 )
+from geohash_dotnet_spark.operators.graph import (  # noqa: E402
+    host_edges_sql,
+    pagerank_sql,
+)
 from geohash_dotnet_spark.operators.hotspots import (  # noqa: E402
     focal_hotspots_sql,
+    tile_anomaly_sql,
     moran_i_sql,
 )
 from geohash_dotnet_spark.operators.rollup import time_rollup_sql  # noqa: E402
@@ -124,6 +130,7 @@ from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
 from geohash_dotnet_spark.operators.text import (  # noqa: E402
     char_entropy_sql_expr,
     fp6,
+    group_quantiles_sql,
     fp6_sql,
     quality_sql,
     token_stats_sql,
@@ -1351,6 +1358,56 @@ def q_user_mobility(spark, sf_dir):
     return user_mobility(ev).orderBy("user_id")
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank (3 damped iterations) over a deterministic
+    link graph derived from the pages table: each page links its site
+    to 3 hash-chosen sites. Integer micro-unit ranks — exact BIGINT
+    sums + floor division only, so every rank is bit-identical to the
+    DuckDB unrolled-CTE replay on any partitioning or cluster size."""
+    from geohash_dotnet_spark.operators import host_edges, pagerank
+
+    pg = _pages(spark, sf_dir).withColumn(
+        "site", F.regexp_extract("url", r"^https?://[^/]+/([^/]+)/", 1))
+    return (pagerank(host_edges(pg, node="site"), n_iter=3)
+            .orderBy("node"))
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span profile (width-8 token spans, full
+    md5 keys): per doc, the count and fraction of span positions whose
+    exact text also appears in another document — the substring-dedup
+    signal of Lee et al. 2022 at token-span grain."""
+    from geohash_dotnet_spark.operators import duplicate_spans
+
+    return (duplicate_spans(_docs(spark, sf_dir), width=8)
+            .orderBy("doc_id"))
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language length quantiles (p50/p90/p99 of n_chars) —
+    the corpus profile every curation run starts with. Exact
+    interpolating percentile (type-7, same definition as DuckDB's
+    quantile_cont), fp6-gated; percentile_approx is the documented
+    single-giant-group fallback (tolerance-tested in pytest)."""
+    from geohash_dotnet_spark.operators import group_quantiles
+
+    return group_quantiles(_docs(spark, sf_dir)).orderBy("lang")
+
+
+def q_tile_anomaly(spark, sf_dir):
+    """Per-(tile, day) burst/outage z-scores against each tile's own
+    daily history over the events stream — exact integer daily counts
+    and integer moment sums feeding one fixed IEEE tree, z fp6-gated."""
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+    from geohash_dotnet_spark.operators import tile_anomaly
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("__eid", F.col("event_id").cast("string")))
+    ev = geocode_from_url(ev, url="__eid")
+    return tile_anomaly(ev, precision=1).orderBy("tile", "day")
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1425,6 +1482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,                # NEW in r4
         "char_entropy": q_char_entropy,                # NEW in r4
         "user_mobility": q_user_mobility,              # NEW in r4
+        "host_pagerank": q_host_pagerank,              # NEW in r4
+        "dup_spans": q_dup_spans,                      # NEW in r4
+        "length_quantiles": q_length_quantiles,        # NEW in r4
+        "tile_anomaly": q_tile_anomaly,                # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1454,16 +1515,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
-        # --- window boundary: the 13 r4 insertions (domain_quota,
+        # --- window boundary: the 18 r4 insertions (domain_quota,
         # domain_mixture, sample_exact, sample_exact_by_lang,
         # tile_clusters, postings, bm25_search, bigram_ppl,
-        # collocations, snapshot_diff, tile_flows, kmeans_codebook)
-        # plus the promoted r4-changed keys (quality, decontaminate,
-        # ngram_jaccard, ngram_jaccard_capped) push every key from
-        # position 51 down out of the 50-key window — count keys above
-        # to find the live boundary. All rotated-out keys were green in
-        # r3 AND unchanged since, so their rows stay <=2 rounds old;
-        # rotate them back inside the window in r5.
+        # collocations, snapshot_diff, tile_flows, kmeans_codebook,
+        # char_entropy, user_mobility, host_pagerank, dup_spans,
+        # length_quantiles, tile_anomaly) plus the promoted r4-changed
+        # keys (quality, decontaminate, ngram_jaccard,
+        # ngram_jaccard_capped) push every key from position 51 down out
+        # of the 50-key window — the live boundary sits right after
+        # tile_smooth (position 50); count keys above to re-derive it.
+        # All rotated-out keys were green in r3 AND unchanged since, so
+        # their rows stay <=2 rounds old; rotate them back inside the
+        # window in r5.
         "repetition_stats": q_repetition_stats,
         "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
@@ -1793,6 +1857,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + bm25_topk_sql(BM25_QUERIES, k=8)
             + ") ORDER BY qid, rank",
+        "host_pagerank":
+            "SELECT * FROM ("
+            + pagerank_sql(
+                host_edges_sql(
+                    "SELECT *, regexp_extract(url, "
+                    "'^https?://[^/]+/([^/]+)/', 1) AS site "
+                    f"FROM ({pages_sql(REP)})",
+                    node="site"),
+                n_iter=3)
+            + ") ORDER BY node",
+        "dup_spans":
+            "SELECT * FROM ("
+            + duplicate_spans_sql("SELECT * FROM documents", width=8)
+            + ") ORDER BY doc_id",
+        "length_quantiles":
+            "SELECT * FROM ("
+            + group_quantiles_sql("SELECT * FROM documents")
+            + ") ORDER BY lang",
+        "tile_anomaly":
+            "SELECT * FROM ("
+            + tile_anomaly_sql(tagged_select_sql(
+                "SELECT ts, "
+                + geocode_lat_sql("CAST(event_id AS VARCHAR)") + " AS lat, "
+                + geocode_lon_sql("CAST(event_id AS VARCHAR)") + " AS lon "
+                "FROM events", 1, keep="ts"))
+            + ") ORDER BY tile, day",
         "url_host_stats":
             f"SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, "
             f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) AS top_dir, "

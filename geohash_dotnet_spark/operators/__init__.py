@@ -53,16 +53,19 @@ from .pipeline import (  # noqa: F401
 )
 from .asof import asof_join, interval_join  # noqa: F401
 from .cdc import snapshot_diff  # noqa: F401
+from .dedup import duplicate_spans  # noqa: F401
 from .clustering import tile_density_clusters  # noqa: F401
 from .flows import tile_flows, user_mobility  # noqa: F401
+from .graph import host_edges, pagerank  # noqa: F401
 from .index import bm25_topk, build_postings  # noqa: F401
 from .kmeans import kmeans_assign, kmeans_fit  # noqa: F401
 from .lm import bigram_ppl, collocations  # noqa: F401
-from .hotspots import focal_hotspots, moran_i  # noqa: F401
+from .hotspots import focal_hotspots, moran_i, tile_anomaly  # noqa: F401
 from .rollup import time_rollup  # noqa: F401
 from .sessions import sessionize  # noqa: F401
 from .tracks import cover_tracks  # noqa: F401
 from .text import (  # noqa: F401
+    group_quantiles,
     vocab_topk,
     with_fingerprint,
     with_quality,

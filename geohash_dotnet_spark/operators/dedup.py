@@ -695,3 +695,83 @@ def latest_snapshot_sql(inner: str, key: str = "doc_id",
     return (f"SELECT {key}, {ts}, {tiebreak}, {keep_cols} FROM ({inner}) "
             f"QUALIFY row_number() OVER (PARTITION BY {key} "
             f"ORDER BY {ts} DESC, {tiebreak} DESC) = 1 ORDER BY {key}")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated spans (exact substring dedup, token-span grain)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text: str = "text", width: int = 15,
+                    min_docs: int = 2) -> DataFrame:
+    """Per-document duplicated-span profile: how much of each document is
+    covered by exact ``width``-token spans that also appear in at least
+    ``min_docs`` distinct documents (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the substring-dedup
+    signal, at token-span rather than suffix-array grain).
+
+    Returns (id, n_spans, n_dup_spans, dup_frac) for every document with
+    at least one full-width span; n_dup_spans counts span POSITIONS whose
+    md5 is shared cross-document, so verbatim boilerplate runs score high
+    even when each doc contributes it once.
+
+    Scale shape (100 TB design point): the exploded relation carries ONLY
+    (id, md5) — the span text is hashed inside the projection and never
+    shuffled (a width-15 span is ~100 bytes; its md5 is 32). The exchange
+    ladder is (h,id) partial-agg -> h-keyed doc-frequency agg -> h-keyed
+    join back (reusing the agg's partitioning) -> id-keyed final agg; every
+    stage has map-side partials and no stage carries more than one row per
+    distinct (span, doc). Full md5 (128-bit) rather than the 60-bit prefix:
+    at 10^12 docs x 10^3 spans the birthday bound on 60 bits (~1e18
+    pairs) would manufacture false dup spans; 128-bit will not.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(width - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width))))
+    exploded = (df.filter(F.size(toks) >= width)
+                .select(F.col(id_col).alias("id"),
+                        F.explode(spans).alias("h")))
+    per_hd = exploded.groupBy("h", "id").agg(
+        F.count(F.lit(1)).alias("k"))
+    ndocs = per_hd.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    flagged = per_hd.join(ndocs, "h")
+    return (flagged.groupBy("id")
+            .agg(F.sum("k").alias("n_spans"),
+                 F.sum(F.when(F.col("ndocs") >= min_docs, F.col("k"))
+                       .otherwise(F.lit(0))).alias("n_dup_spans"))
+            .select(F.col("id").alias(id_col), "n_spans", "n_dup_spans",
+                    fp6(F.col("n_dup_spans").cast("double")
+                        / F.col("n_spans").cast("double"))
+                    .alias("dup_frac")))
+
+
+def duplicate_spans_sql(inner: str, id_col: str = "doc_id",
+                        text: str = "text", width: int = 15,
+                        min_docs: int = 2) -> str:
+    """DuckDB oracle twin of :func:`duplicate_spans`."""
+    from .text import fp6_sql  # fp6_sql is not in this module's top import
+    frac = fp6_sql("CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)")
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id,
+         string_split_regex(trim(lower({text})), '\\s+') AS toks
+  FROM ({inner})
+), s AS (
+  SELECT id, md5(array_to_string(toks[i:i+{width - 1}], ' ')) AS h
+  FROM t, UNNEST(range(1, len(toks) - {width} + 2)) AS u(i)
+  WHERE len(toks) >= {width}
+), hd AS (
+  SELECT h, id, count(*) AS k FROM s GROUP BY h, id
+), nd AS (
+  SELECT h, count(*) AS ndocs FROM hd GROUP BY h
+), d AS (
+  SELECT hd.id, sum(k) AS n_spans,
+         sum(CASE WHEN ndocs >= {min_docs} THEN k ELSE 0 END) AS n_dup_spans
+  FROM hd JOIN nd ON hd.h = nd.h GROUP BY hd.id
+)
+SELECT id AS {id_col}, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+       {frac} AS dup_frac
+FROM d
+"""

@@ -1,0 +1,186 @@
+"""Host-graph PageRank: crawl-frontier prioritization over a link graph.
+
+Every production crawl pipeline ranks hosts/domains by link authority to
+budget fetch capacity (the classic PageRank use — Page et al. 1999, "The
+PageRank Citation Ranking"). The operator is generic over an ``edges``
+DataFrame ``(src, dst)``; the driver query derives a deterministic host
+graph from the pages table (no external data, reproducible cross-engine).
+
+Determinism: ranks are BIGINT micro-units (``r0`` per node at t=0) and the
+update rule uses ONLY integer multiply / integer floor-division / integer
+sums, so the result is addition-order independent — bit-identical on any
+partitioning, any cluster size, and in the DuckDB twin (where ``//`` floor
+division equals Spark's ``div`` on the all-positive operands used here).
+The damped update per iteration is::
+
+    rank'(v) = (15*T) div (100*n)               -- teleport (T = n*r0 total)
+             + (85*D) div (100*n)               -- dangling redistribution
+             + sum over u->v of (rank(u)*85) div (100*outdeg(u))
+
+Floors leak a few micro-units of mass per node per iteration (bounded by
+n*(2+outdeg) units, i.e. ~1e-12 relative) — the standard price for exact
+integer reproducibility, same trade as the fixed-point tricks in
+sessions/flows.
+
+Scale shape (100 TB design point):
+  * the edge list is the big relation; each iteration scans it ONCE,
+    shuffling on ``src`` (rank attach) then ``dst`` (contribution sum,
+    map-side partials first). ``eo`` (edges+outdeg) is computed once and
+    persisted across iterations — outdeg is static.
+  * the rank vector is node-keyed (hosts/domains, orders of magnitude
+    smaller than pages); AQE turns the rank-attach join into a broadcast
+    when it fits, and the one-row stats/dangling relations are explicit
+    broadcasts — no driver collect anywhere.
+  * iteration count is a fixed small constant (the plan is unrolled, like
+    the dedup_clusters label-propagation ladder); each iteration persists
+    its rank vector and releases the previous one to keep lineage flat.
+
+Reference parity: geohash-dotnet has no graph module — this is part of the
+web-pipeline extension surface (VERDICT "LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_60bit, md5_60bit_sql
+
+__all__ = ["pagerank", "pagerank_sql", "host_edges", "host_edges_sql"]
+
+R0 = 1_000_000_000_000  # initial rank per node, micro-units (1e12)
+
+
+def pagerank(edges: DataFrame, n_iter: int = 3, src: str = "src",
+             dst: str = "dst", r0: int = R0) -> DataFrame:
+    """(node, rank) after ``n_iter`` damped (85%) integer PageRank
+    iterations over the distinct ``(src, dst)`` edge set. ``rank`` is a
+    BIGINT in micro-units of ``r0``; self-loops count like any edge.
+
+    Overflow bound: rank <= T = n*r0, so ``rank*85`` needs
+    n*r0*85 < 2^63 — with r0=1e12 that allows ~10^5 nodes; pass a smaller
+    ``r0`` for larger graphs (precision degrades gracefully).
+    """
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # static across iterations: one persisted edges+outdeg relation
+    eo = e.join(out, "src").persist()
+    stats = nodes.agg(F.count(F.lit(1)).alias("n")).select(
+        "n", (F.col("n") * F.lit(r0).cast("long")).alias("t"))
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
+    prev = None
+    for _ in range(n_iter):
+        contrib = (eo.join(ranks, eo["src"] == ranks["node"])
+                   .select(F.col("dst"),
+                           F.expr("(rank * CAST(85 AS BIGINT)) div "
+                                  "(CAST(100 AS BIGINT) * outdeg)")
+                           .alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("c")))
+        dang = (ranks.join(out, ranks["node"] == out["src"], "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long")
+                     .alias("d")))
+        nxt = (nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+               .crossJoin(F.broadcast(stats))
+               .crossJoin(F.broadcast(dang))
+               .select(
+                   "node",
+                   (F.expr("(CAST(15 AS BIGINT) * t) div "
+                           "(CAST(100 AS BIGINT) * n)")
+                    + F.expr("(CAST(85 AS BIGINT) * d) div "
+                             "(CAST(100 AS BIGINT) * n)")
+                    + F.coalesce(F.col("c"), F.lit(0).cast("long")))
+                   .alias("rank")))
+        nxt = nxt.persist()
+        nxt.count()  # materialize before releasing the previous vector
+        if prev is not None:
+            prev.unpersist()
+        prev, ranks = nxt, nxt
+    return ranks.select("node", "rank")
+
+
+def pagerank_sql(edges_inner: str, n_iter: int = 3, r0: int = R0) -> str:
+    """DuckDB oracle twin of :func:`pagerank` — the same integer update
+    rule, iterations unrolled as chained CTEs (``//`` is floor division,
+    identical to Spark's ``div`` on these all-positive operands)."""
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_inner}))",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "st AS (SELECT count(*) AS n, "
+        f"count(*) * CAST({r0} AS BIGINT) AS t FROM nodes)",
+        f"r0 AS (SELECT node, CAST({r0} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"d{i} AS (SELECT CAST(COALESCE(sum(rank), 0) AS BIGINT) AS d "
+            f"FROM r{i} LEFT JOIN od ON r{i}.node = od.src "
+            f"WHERE od.outdeg IS NULL)")
+        parts.append(
+            f"c{i} AS (SELECT e.dst, "
+            f"sum((rank * CAST(85 AS BIGINT)) // "
+            f"(CAST(100 AS BIGINT) * outdeg)) AS c "
+            f"FROM e JOIN od ON e.src = od.src "
+            f"JOIN r{i} ON r{i}.node = e.src GROUP BY e.dst)")
+        parts.append(
+            f"r{i + 1} AS (SELECT nodes.node, "
+            f"(CAST(15 AS BIGINT) * t) // (CAST(100 AS BIGINT) * n) "
+            f"+ (CAST(85 AS BIGINT) * d) // (CAST(100 AS BIGINT) * n) "
+            f"+ COALESCE(c, CAST(0 AS BIGINT)) AS rank "
+            f"FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst "
+            f"CROSS JOIN st CROSS JOIN d{i})")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{n_iter}")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic host-graph derivation from the pages table
+# ---------------------------------------------------------------------------
+
+def host_edges(pages_df: DataFrame, node: str = "source", key: str = "url",
+               fanout: int = 3) -> DataFrame:
+    """Derive a deterministic (src, dst) host-graph from pages: each page
+    emits ``fanout`` out-links from its host to hash-chosen hosts (the
+    synthetic stand-in for parsed <a href> targets — deterministic, no
+    external data, reproducible in SQL).
+
+    Shape: hosts are ranked once (tiny relation, one window over host
+    cardinality) and broadcast; the corpus side is a pure projection +
+    explode, then a broadcast equi-join on the hash index — the corpus is
+    never shuffled.
+    """
+    hosts = (pages_df.select(F.col(node).alias("dst")).distinct()
+             .select("dst", (F.row_number().over(Window.orderBy("dst"))
+                             - 1).alias("idx")))
+    n_hosts = hosts.agg(F.count(F.lit(1)).alias("h"))
+    fan = (pages_df
+           .select(F.col(node).alias("src"), F.col(key).alias("k"))
+           .crossJoin(F.broadcast(n_hosts))
+           .withColumn("j", F.explode(
+               F.sequence(F.lit(0), F.lit(fanout - 1))))
+           .select("src", F.pmod(
+               md5_60bit(F.concat(F.col("k"), F.lit("#"),
+                                  F.col("j").cast("string"))),
+               F.col("h")).alias("idx")))
+    return fan.join(F.broadcast(hosts), "idx").select("src", "dst")
+
+
+def host_edges_sql(pages_inner: str, node: str = "source",
+                   key: str = "url", fanout: int = 3) -> str:
+    """DuckDB twin of :func:`host_edges`."""
+    js = ", ".join(f"({j})" for j in range(fanout))
+    h = md5_60bit_sql(f"k || '#' || CAST(j AS VARCHAR)")
+    return f"""
+SELECT f.src, hosts.dst FROM (
+  SELECT {node} AS src, ({h}) % (SELECT count(*) FROM
+    (SELECT DISTINCT {node} FROM ({pages_inner}))) AS idx
+  FROM (SELECT {node}, {key} AS k FROM ({pages_inner}))
+  CROSS JOIN (VALUES {js}) fj(j)
+) f JOIN (
+  SELECT dst, row_number() OVER (ORDER BY dst) - 1 AS idx
+  FROM (SELECT DISTINCT {node} AS dst FROM ({pages_inner}))
+) hosts ON f.idx = hosts.idx
+"""

@@ -40,7 +40,8 @@ from ..functions.udfs import gh_neighbors
 from .text import fp6, fp6_sql
 
 __all__ = ["focal_hotspots", "focal_hotspots_sql",
-           "moran_i", "moran_i_sql"]
+           "moran_i", "moran_i_sql",
+           "tile_anomaly", "tile_anomaly_sql"]
 
 
 def focal_hotspots(tiles: DataFrame, cell_col: str = "gh",
@@ -223,4 +224,70 @@ SELECT tiles.gh AS {cell_col}, CAST(tiles.n AS BIGINT) AS {value_col},
        wx, w, {z} AS gi_z,
        CAST({z} >= {hot_z} AS INT) AS hot
 FROM tiles JOIN focal ON focal.t = tiles.gh CROSS JOIN gstats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temporal anomaly detection over tile time series
+# ---------------------------------------------------------------------------
+
+def tile_anomaly(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                 ts: str = "ts", precision: int = 2) -> DataFrame:
+    """Per-(tile, day) activity z-scores against the tile's own daily
+    history — the burst/outage detector of geo-temporal monitoring
+    (traffic spikes, crawl storms, sensor dropouts): a tile's day is
+    anomalous when its event count sits far from that tile's mean.
+
+    z uses the population std over the tile's observed days; tiles with
+    a single day or zero variance emit z = NULL (no history to be
+    anomalous against). Determinism: daily counts are exact BIGINTs and
+    the per-tile moments come from integer sums (n/sum/sum-of-squares),
+    so mean/var enter one fixed IEEE expression tree mirrored verbatim
+    in the DuckDB twin; z is fp6-gated.
+
+    Scale shape (100 TB): one event->(tile, day) aggregation with
+    map-side partials collapses the corpus to |tiles|x|days| rows;
+    everything after runs on that reduced table (a tile-keyed moment agg
+    joined back tile-keyed, reusing the exchange). No windows over the
+    raw events, no driver collects.
+    """
+    from ..functions.native import with_geohash
+    g = with_geohash(df, lat, lon, precision)
+    daily = (g.groupBy(F.col("gh").alias("tile"),
+                       F.col(ts).cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    mom = (daily.groupBy("tile")
+           .agg(F.count(F.lit(1)).alias("days"),
+                F.sum("n").alias("s"),
+                F.sum(F.col("n") * F.col("n")).alias("ss")))
+    j = daily.join(mom, "tile")
+    days = F.col("days").cast("double")
+    mean = F.col("s").cast("double") / days
+    var = F.col("ss").cast("double") / days - mean * mean
+    z = F.when((F.col("days") >= 2) & (var > 0),
+               fp6((F.col("n").cast("double") - mean) / F.sqrt(var)))
+    return j.select("tile", "day", "n", "days",
+                    fp6(mean).alias("mean_n"), z.alias("z"))
+
+
+def tile_anomaly_sql(tagged_inner: str, ts: str = "ts") -> str:
+    """DuckDB oracle twin of :func:`tile_anomaly`. ``tagged_inner`` must
+    expose ``gh`` (the tile at the query's precision) plus the event
+    timestamp column."""
+    mean = "CAST(s AS DOUBLE) / CAST(days AS DOUBLE)"
+    var = f"CAST(ss AS DOUBLE) / CAST(days AS DOUBLE) - ({mean}) * ({mean})"
+    z = fp6_sql(f"(CAST(n AS DOUBLE) - ({mean})) / sqrt({var})")
+    return f"""
+WITH daily AS (
+  SELECT gh AS tile, CAST({ts} AS DATE) AS day, count(*) AS n
+  FROM ({tagged_inner}) GROUP BY gh, CAST({ts} AS DATE)
+), mom AS (
+  SELECT tile, count(*) AS days, sum(n) AS s, sum(n * n) AS ss
+  FROM daily GROUP BY tile
+)
+SELECT daily.tile, day, CAST(n AS BIGINT) AS n,
+       CAST(days AS BIGINT) AS days,
+       {fp6_sql(mean)} AS mean_n,
+       CASE WHEN days >= 2 AND ({var}) > 0 THEN {z} END AS z
+FROM daily JOIN mom ON daily.tile = mom.tile
 """

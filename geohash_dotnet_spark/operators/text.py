@@ -364,3 +364,50 @@ def char_entropy_sql_expr(text: str = "text") -> str:
     ent = "(((" + terms[0] + " + " + terms[1] + ") + " + terms[2] + ") + " \
         + terms[3] + ")"
     return (f"CASE WHEN {n} > 0 THEN {fp6_sql(ent)} ELSE 0.0e0 END")
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group length quantiles (corpus profiling)
+# ---------------------------------------------------------------------------
+
+def group_quantiles(df: DataFrame, group: str = "lang",
+                    value: str = "n_chars",
+                    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    exact: bool = True) -> DataFrame:
+    """Per-``group`` quantiles of ``value`` — the corpus length-profile
+    report every curation run starts with (token/char budgets per
+    language, truncation thresholds, outlier caps).
+
+    ``exact=True`` uses Spark's exact interpolating ``percentile``
+    (type-7, the same definition as DuckDB's ``quantile_cont``) — it
+    buffers each group's values on one executor, which is fine for
+    grouped profiling (rows-per-group bounded by the corpus/|groups|
+    memory budget) but wrong for a 10^12-row single group; for that,
+    ``exact=False`` plans ``percentile_approx`` (GK sketch, bounded
+    memory, mergeable partials) at the cost of oracle-exactness — the
+    production default at 100 TB, tolerance-tested in pytest rather than
+    hash-gated.
+
+    Output: (group, n, q_50, q_90, q_99) — quantile columns fp6-quantized
+    so the interpolated doubles hash identically cross-engine.
+    """
+    fn = F.percentile if exact else F.percentile_approx
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for q in qs:
+        col = fn(F.col(value).cast("double"), F.lit(q))
+        aggs.append(fp6(col.cast("double"))
+                    .alias(f"q_{int(round(q * 100))}"))
+    return df.groupBy(group).agg(*aggs)
+
+
+def group_quantiles_sql(inner: str, group: str = "lang",
+                        value: str = "n_chars",
+                        qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    """DuckDB twin of :func:`group_quantiles` (exact form):
+    ``quantile_cont`` is the same type-7 linear interpolation as Spark's
+    ``percentile``."""
+    cols = ", ".join(
+        f"{fp6_sql(f'quantile_cont(CAST({value} AS DOUBLE), {q!r})')} "
+        f"AS q_{int(round(q * 100))}" for q in qs)
+    return (f"SELECT {group}, count(*) AS n, {cols} "
+            f"FROM ({inner}) GROUP BY {group}")

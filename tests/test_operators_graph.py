@@ -1,0 +1,108 @@
+"""Host-graph PageRank: hand-checked tiny graphs, invariants, scale
+properties (layout independence, dangling handling, mass accounting)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geohash_dotnet_spark.operators.graph import (
+    R0,
+    host_edges,
+    pagerank,
+)
+
+
+def _ranks(spark, edges, **kw):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["rank"]
+            for r in pagerank(e, **kw).collect()}
+
+
+def test_two_node_cycle_is_uniform(spark):
+    # a <-> b: perfect symmetry, every iteration keeps ranks equal
+    r = _ranks(spark, [("a", "b"), ("b", "a")], n_iter=3)
+    assert r["a"] == r["b"]
+    # cycle has no dangling nodes and outdeg 1 everywhere: update is
+    # teleport + 85% pass-through, so total mass loses only the two
+    # per-node floors per iteration
+    assert abs(r["a"] - R0) <= 3 * 2  # <= n_iter * (2 floors/node)
+
+
+def test_star_sink_outranks_leaves(spark):
+    # leaves l0..l3 all link to hub; hub links back to l0 only
+    edges = [(f"l{i}", "hub") for i in range(4)] + [("hub", "l0")]
+    r = _ranks(spark, edges, n_iter=3)
+    assert r["hub"] > r["l0"] > r["l1"]
+    assert r["l1"] == r["l2"] == r["l3"]
+
+
+def test_hand_computed_one_iteration(spark):
+    # a->b, a->c, b->c; c dangling. n=3, T=3*R0.
+    r = _ranks(spark, [("a", "b"), ("a", "c"), ("b", "c")], n_iter=1)
+    teleport = (15 * 3 * R0) // (100 * 3)
+    dang = (85 * R0) // (100 * 3)  # c held R0
+    half_a = (R0 * 85) // (100 * 2)
+    full_b = (R0 * 85) // (100 * 1)
+    assert r["a"] == teleport + dang
+    assert r["b"] == teleport + dang + half_a
+    assert r["c"] == teleport + dang + half_a + full_b
+
+
+def test_mass_approximately_conserved(spark):
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 11}") for i in range(11)]
+    r = _ranks(spark, edges, n_iter=4)
+    total = sum(r.values())
+    n = len(r)
+    # floors leak < n*(2 + max outdeg) units per iteration
+    assert 0 <= n * R0 - total < 4 * n * 12
+
+
+def test_layout_independence(spark, sf_med):
+    """Same ranks regardless of input partitioning — the cluster-size
+    determinism claim."""
+    from geohash_dotnet_spark.sources.pages import pages
+
+    pg = pages(spark, sf_med).withColumn(
+        "site", F.regexp_extract("url", r"^https?://[^/]+/([^/]+)/", 1))
+    e = host_edges(pg, node="site")
+    a = pagerank(e, n_iter=2).orderBy("node").collect()
+    b = pagerank(e.repartition(17), n_iter=2).orderBy("node").collect()
+    assert a == b
+
+
+def test_duplicate_edges_collapse(spark):
+    # the edge set is distinct (src,dst): repeating an edge changes nothing
+    once = _ranks(spark, [("a", "b"), ("b", "a")], n_iter=2)
+    thrice = _ranks(spark, [("a", "b")] * 3 + [("b", "a")], n_iter=2)
+    assert once == thrice
+
+
+def test_host_edges_deterministic_and_in_universe(spark, sf_med):
+    from geohash_dotnet_spark.sources.pages import pages
+
+    pg = pages(spark, sf_med).withColumn(
+        "site", F.regexp_extract("url", r"^https?://[^/]+/([^/]+)/", 1))
+    e = host_edges(pg, node="site", fanout=2)
+    hosts = {r["site"] for r in pg.select("site").distinct().collect()}
+    rows = e.collect()
+    assert {r["dst"] for r in rows} <= hosts
+    assert {r["src"] for r in rows} <= hosts
+    # deterministic: a second build is identical
+    again = host_edges(pg, node="site", fanout=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_overflow_guard_documented():
+    """rank*85 must fit in int64 at the documented node bound."""
+    n_max = 10 ** 5
+    assert n_max * R0 * 85 < 2 ** 63
+
+
+@pytest.mark.parametrize("fanout", [1, 3])
+def test_host_edges_fanout_bound(spark, sf_small, fanout):
+    from geohash_dotnet_spark.sources.pages import pages
+
+    pg = pages(spark, sf_small).withColumn(
+        "site", F.regexp_extract("url", r"^https?://[^/]+/([^/]+)/", 1))
+    n_pages = pg.count()
+    e = host_edges(pg, node="site", fanout=fanout)
+    assert e.count() <= n_pages * fanout
