@@ -1360,15 +1360,21 @@ def q_user_mobility(spark, sf_dir):
 
 def q_host_pagerank(spark, sf_dir):
     """Host-graph PageRank (3 damped iterations) over a deterministic
-    link graph derived from the pages table: each page links its site
-    to 3 hash-chosen sites. Integer micro-unit ranks — exact BIGINT
-    sums + floor division only, so every rank is bit-identical to the
-    DuckDB unrolled-CTE replay on any partitioning or cluster size."""
+    link graph: each site links to 3 hash-chosen sites (site-level
+    fanout — per-PAGE derivation would saturate the distinct-edge
+    support into the complete graph at this host cardinality, making
+    every rank identical and the gate non-discriminative; pytest keeps
+    the per-page form under test). Integer micro-unit ranks — exact
+    BIGINT sums + floor division only, so every rank is bit-identical
+    to the DuckDB unrolled-CTE replay on any partitioning or cluster
+    size."""
     from geohash_dotnet_spark.operators import host_edges, pagerank
 
-    pg = _pages(spark, sf_dir).withColumn(
-        "site", F.regexp_extract("url", r"^https?://[^/]+/([^/]+)/", 1))
-    return (pagerank(host_edges(pg, node="site"), n_iter=3)
+    sites = (_pages(spark, sf_dir)
+             .select(F.regexp_extract(
+                 "url", r"^https?://[^/]+/([^/]+)/", 1).alias("site"))
+             .distinct())
+    return (pagerank(host_edges(sites, node="site", key="site"), n_iter=3)
             .orderBy("node"))
 
 
@@ -1861,10 +1867,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + pagerank_sql(
                 host_edges_sql(
-                    "SELECT *, regexp_extract(url, "
+                    "SELECT DISTINCT regexp_extract(url, "
                     "'^https?://[^/]+/([^/]+)/', 1) AS site "
                     f"FROM ({pages_sql(REP)})",
-                    node="site"),
+                    node="site", key="site"),
                 n_iter=3)
             + ") ORDER BY node",
         "dup_spans":
