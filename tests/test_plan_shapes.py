@@ -233,3 +233,64 @@ def test_ngram_capped_adds_no_exchange_over_exact(spark, sf_small):
     n_ex = exact.count("Exchange hashpartitioning")
     assert capped.count("Exchange hashpartitioning") == n_ex, capped[:4000]
     assert "Window" in capped and "Window" not in exact
+
+
+def test_dup_spans_hashes_before_exchange_and_reuses_h_partitioning(
+        spark, sf_small):
+    """duplicate_spans' scale claims, visible in the plan: (1) the span
+    TEXT never crosses an exchange — every Exchange key set is (h,id),
+    (h), or (id), and no exchange input carries a concat_ws span column;
+    (2) the doc-frequency join back reuses the h-keyed partitioning of
+    the (h,id) aggregation (no extra exchange on the probe side)."""
+    from geohash_dotnet_spark.operators import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _executed(duplicate_spans(docs, width=8))
+    body = plan.split("Initial Plan")[0]
+    # the md5 projection happens below the first exchange: the exploded
+    # relation that is shuffled must already be hashed (no raw span
+    # strings in any Exchange's output attributes)
+    for line in body.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "concat_ws" not in line, line
+    # exchanges: (h,id) partial agg, (h) docfreq, (id) final — the join
+    # back must not add a fourth hash exchange
+    assert body.count("Exchange hashpartitioning") <= 4, body[:4000]
+
+
+def test_pagerank_stats_and_dangling_are_broadcast(spark):
+    """The one-row stats/dangling relations reach each iteration as
+    broadcasts; the rank vector is never collected to the driver (no
+    LocalTableScan of ranks) and edge contributions get map-side
+    partial aggregation."""
+    from geohash_dotnet_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 11}") for i in range(11)],
+        "src string, dst string")
+    df = pagerank(e, n_iter=1)
+    try:
+        plan = _executed(df)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" \
+            in plan, plan[:3000]
+        assert "partial_sum" in plan, plan[:3000]
+    finally:
+        # pagerank persists intermediates; drop them so later tests
+        # measure their own storage
+        spark.catalog.clearCache()
+
+
+def test_tile_anomaly_single_corpus_aggregation(spark, sf_med):
+    """Everything after the first (tile, day) aggregation runs on the
+    reduced table: exactly one exchange keys on the raw-event derived
+    (gh, day) pair; the moment agg and join back are tile-keyed."""
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+    from geohash_dotnet_spark.operators import tile_anomaly
+
+    ev = (spark.read.parquet(f"{sf_med}/events.parquet")
+          .withColumn("__eid", F.col("event_id").cast("string")))
+    ev = geocode_from_url(ev, url="__eid")
+    plan = _executed(tile_anomaly(ev, precision=1))
+    body = plan.split("Initial Plan")[0]
+    assert body.count("Exchange hashpartitioning") <= 3, body[:4000]
+    assert "partial_count" in body or "partial_sum" in body
