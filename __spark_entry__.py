@@ -119,6 +119,7 @@ from geohash_dotnet_spark.operators.kmeans import kmeans_fit_sql  # noqa: E402
 from geohash_dotnet_spark.operators.lm import (  # noqa: E402
     bigram_ppl_sql,
     collocations_sql,
+    dsir_weights_sql,
 )
 from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_near_pairs_sql,
@@ -1414,6 +1415,20 @@ def q_tile_anomaly(spark, sf_dir):
     return tile_anomaly(ev, precision=1).orderBy("tile", "day")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log-likelihood ratio of a target model (the deterministic
+    doc_id%17 carve-out, decontaminate's convention) vs the corpus
+    model — per-bucket llr quantized to integer micro-units in the
+    B-bounded model table, document scores exact integer sums."""
+    from geohash_dotnet_spark.operators.lm import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    tgt = docs.filter(F.col("doc_id") % 17 == 0)
+    cor = docs.filter(F.col("doc_id") % 17 != 0)
+    return dsir_weights(cor, tgt, n_buckets=512).orderBy("doc_id")
+
+
 def q_url_host_stats(spark, sf_dir):
     """Per-(host, top directory) crawl stats — the URL-curation rollup
     every crawl pipeline runs (host-level budgets/blocklists). Pure
@@ -1492,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,                      # NEW in r4
         "length_quantiles": q_length_quantiles,        # NEW in r4
         "tile_anomaly": q_tile_anomaly,                # NEW in r4
+        "dsir_weights": q_dsir_weights,                # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1521,16 +1537,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
-        # --- window boundary: the 18 r4 insertions (domain_quota,
+        # --- window boundary: the 19 r4 insertions (domain_quota,
         # domain_mixture, sample_exact, sample_exact_by_lang,
         # tile_clusters, postings, bm25_search, bigram_ppl,
         # collocations, snapshot_diff, tile_flows, kmeans_codebook,
         # char_entropy, user_mobility, host_pagerank, dup_spans,
-        # length_quantiles, tile_anomaly) plus the promoted r4-changed
-        # keys (quality, decontaminate, ngram_jaccard,
-        # ngram_jaccard_capped) push every key from position 51 down out
-        # of the 50-key window — the live boundary sits right after
-        # tile_smooth (position 50); count keys above to re-derive it.
+        # length_quantiles, tile_anomaly, dsir_weights) plus the
+        # promoted r4-changed keys (quality, decontaminate,
+        # ngram_jaccard, ngram_jaccard_capped) push every key from
+        # position 51 down out of the 50-key window — the live boundary
+        # sits right after cover_tracks (position 50); count keys above
+        # to re-derive it.
         # All rotated-out keys were green in r3 AND unchanged since, so
         # their rows stay <=2 rounds old; rotate them back inside the
         # window in r5.
@@ -1889,6 +1906,13 @@ def oracle_sql() -> dict[str, str]:
                 + geocode_lon_sql("CAST(event_id AS VARCHAR)") + " AS lon "
                 "FROM events", 1, keep="ts"))
             + ") ORDER BY tile, day",
+        "dsir_weights":
+            "SELECT * FROM ("
+            + dsir_weights_sql(
+                "SELECT * FROM documents WHERE doc_id % 17 <> 0",
+                "SELECT * FROM documents WHERE doc_id % 17 = 0",
+                n_buckets=512)
+            + ") ORDER BY doc_id",
         "url_host_stats":
             f"SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, "
             f"regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) AS top_dir, "

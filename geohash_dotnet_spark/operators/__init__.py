@@ -59,7 +59,7 @@ from .flows import tile_flows, user_mobility  # noqa: F401
 from .graph import host_edges, pagerank  # noqa: F401
 from .index import bm25_topk, build_postings  # noqa: F401
 from .kmeans import kmeans_assign, kmeans_fit  # noqa: F401
-from .lm import bigram_ppl, collocations  # noqa: F401
+from .lm import bigram_ppl, collocations, dsir_weights  # noqa: F401
 from .hotspots import focal_hotspots, moran_i, tile_anomaly  # noqa: F401
 from .rollup import time_rollup  # noqa: F401
 from .sessions import sessionize  # noqa: F401

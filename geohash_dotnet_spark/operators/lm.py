@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import md5_60bit, md5_60bit_sql
 from .index import _dbl
 from .text import _tokens, fp6, fp6_sql
 
@@ -210,4 +211,124 @@ WITH docs AS (
 )
 SELECT w1, w2, n, CAST(u AS DOUBLE) / 1000000.0e0 AS pmi
 FROM cand ORDER BY u DESC, w1, w2 LIMIT {int(k)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-ngram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+def dsir_weights(corpus: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id", text: str = "text",
+                 n_buckets: int = 4096, k: float = 0.5) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al.
+    2023, DSIR): score every corpus document by the log-likelihood
+    ratio of a TARGET unigram model vs the CORPUS model, both over
+    hashed token features — the "select web data that looks like the
+    target distribution" primitive of modern pretraining pipelines.
+    The weights feed a hash-threshold sampler (stratified_sample) to
+    realize the resampling step.
+
+    Tokens hash into ``n_buckets`` portable-md5 buckets; each model is
+    add-``k``-smoothed over buckets. The per-bucket llr
+    ln p_t(b) - ln p_c(b) is quantized to integer micro-units ONCE, in
+    the B-bounded model table (same discipline as bigram_ppl), so each
+    document's score is an exact integer sum — addition-order
+    independent, bit-identical cross-engine (ln's <=1-ulp wobble can
+    only flip a micro-unit floor on a knife-edge boundary, same
+    documented trade as bigram_ppl).
+
+    Scale shape (100 TB): both model builds are bucket-keyed aggs whose
+    map-side partials collapse every task to <= n_buckets rows; the
+    model table (B rows) joins the (id, bucket, cnt) doc profile as a
+    BROADCAST; the only corpus-scale exchanges are the (id, bucket)
+    pre-aggregation and the final id-keyed sum. The target set is
+    eval/benchmark-sized by definition.
+
+    Output: (id_col, n_tokens, llr, avg_llr) — llr the exact
+    micro-unit-backed double, avg_llr fp6-gated per-token score.
+    """
+    b_mod = F.lit(int(n_buckets)).cast("long")
+    kd, bd = _dbl(k), _dbl(float(n_buckets))
+
+    def buckets(df):
+        toks = _tokens(F.col(text))
+        return df.select(F.col(id_col).cast("long").alias("id"),
+                         F.explode(toks).alias("w")) \
+            .select("id", F.pmod(md5_60bit(F.col("w")), b_mod).alias("b"))
+
+    def model_counts(df):
+        return buckets(df).groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+
+    tc, cc = model_counts(target), model_counts(corpus)
+    # full outer on bucket id: buckets unseen by one model still get
+    # their smoothed mass (c = 0)
+    m = (tc.withColumnRenamed("c", "tc")
+         .join(cc.withColumnRenamed("c", "cc"), "b", "full_outer")
+         .select("b", F.coalesce("tc", F.lit(0)).alias("tc"),
+                 F.coalesce("cc", F.lit(0)).alias("cc")))
+    tot = m.agg(F.sum("tc").alias("tt"), F.sum("cc").alias("ct"))
+    lp_t = F.log((F.col("tc").cast("double") + F.expr(kd))
+                 / (F.col("tt").cast("double") + F.expr(kd) * F.expr(bd)))
+    lp_c = F.log((F.col("cc").cast("double") + F.expr(kd))
+                 / (F.col("ct").cast("double") + F.expr(kd) * F.expr(bd)))
+    model = (m.crossJoin(F.broadcast(tot))
+             .select("b", F.floor((lp_t - lp_c) * F.lit(1000000.0)
+                                  + F.lit(0.5)).cast("long").alias("llr_u")))
+
+    prof = buckets(corpus).groupBy("id", "b").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    scored = (prof.join(F.broadcast(model), "b")
+              .groupBy("id")
+              .agg(F.sum("cnt").alias("n_tokens"),
+                   F.sum(F.col("llr_u") * F.col("cnt")).alias("s_u")))
+    llr = scored["s_u"].cast("double") / F.lit(1000000.0)
+    return scored.select(
+        F.col("id").alias(id_col), "n_tokens", llr.alias("llr"),
+        fp6(llr / scored["n_tokens"].cast("double")).alias("avg_llr"))
+
+
+def dsir_weights_sql(corpus_inner: str, target_inner: str,
+                     id_col: str = "doc_id", text: str = "text",
+                     n_buckets: int = 4096, k: float = 0.5) -> str:
+    """DuckDB oracle twin of :func:`dsir_weights` — identical hashed
+    buckets, smoothing, micro-unit quantization, and integer sums."""
+    toks = _TOKS_SQL_TMPL.format(text=text)
+    kd, bd = _dbl(k), _dbl(float(n_buckets))
+    h = md5_60bit_sql("w")
+
+    def buckets(inner):
+        return (f"SELECT CAST({id_col} AS BIGINT) AS id, "
+                f"({h}) % {n_buckets} AS b FROM ("
+                f"SELECT {id_col}, unnest({toks}) AS w FROM ({inner})) u")
+
+    return f"""
+WITH tb AS ({buckets(target_inner)}), cb AS ({buckets(corpus_inner)}),
+tc AS (SELECT b, count(*) AS tc FROM tb GROUP BY b),
+cc AS (SELECT b, count(*) AS cc FROM cb GROUP BY b),
+m AS (
+  SELECT COALESCE(tc.b, cc.b) AS b, COALESCE(tc, 0) AS tc,
+         COALESCE(cc, 0) AS cc
+  FROM tc FULL OUTER JOIN cc ON tc.b = cc.b
+), tot AS (
+  SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(cc) AS BIGINT) AS ct
+  FROM m
+), model AS (
+  SELECT b, CAST(floor((
+      ln((CAST(tc AS DOUBLE) + {kd}) / (CAST(tt AS DOUBLE) + {kd} * {bd}))
+    - ln((CAST(cc AS DOUBLE) + {kd}) / (CAST(ct AS DOUBLE) + {kd} * {bd}))
+  ) * 1000000.0e0 + 0.5e0) AS BIGINT) AS llr_u
+  FROM m CROSS JOIN tot
+), prof AS (
+  SELECT id, b, count(*) AS cnt FROM cb GROUP BY id, b
+), scored AS (
+  SELECT id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(llr_u * cnt) AS BIGINT) AS s_u
+  FROM prof JOIN model ON prof.b = model.b GROUP BY id
+)
+SELECT id AS {id_col}, n_tokens,
+       CAST(s_u AS DOUBLE) / 1000000.0e0 AS llr,
+       {fp6_sql('(CAST(s_u AS DOUBLE) / 1000000.0e0) '
+                '/ CAST(n_tokens AS DOUBLE)')} AS avg_llr
+FROM scored
 """

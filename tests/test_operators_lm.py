@@ -135,3 +135,62 @@ def test_char_entropy_zero_shuffle(spark, sf_small):
     head = (out._jdf.queryExecution().executedPlan().toString()
             .split("Initial Plan")[0])
     assert "Exchange" not in head
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def _dsir(spark, corpus_rows, target_rows, **kw):
+    from geohash_dotnet_spark.operators.lm import dsir_weights
+
+    c = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    t = spark.createDataFrame(target_rows, "doc_id long, text string")
+    return {r["doc_id"]: r for r in dsir_weights(c, t, **kw).collect()}
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    target = [(100, "physics equations energy mass momentum"),
+              (101, "quantum physics wave energy field")]
+    corpus = [(1, "physics energy mass wave momentum"),   # target-like
+              (2, "buy cheap shoes discount sale now")]   # not
+    out = _dsir(spark, corpus, target, n_buckets=256)
+    assert out[1]["avg_llr"] > out[2]["avg_llr"]
+    assert out[1]["llr"] > 0 > out[2]["llr"]
+
+
+def test_dsir_bucket_smoothing_handles_unseen_tokens(spark):
+    # corpus tokens entirely unseen by the target model: finite scores
+    out = _dsir(spark, [(1, "zzz yyy xxx")], [(9, "aaa bbb")],
+                n_buckets=64)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["llr"] == out[1]["llr"]  # not NaN
+
+
+def test_dsir_layout_invariance(spark, sf_med):
+    from pyspark.sql import functions as F
+
+    from geohash_dotnet_spark.operators.lm import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+    tgt = docs.filter(F.col("doc_id") % 17 == 0)
+    cor = docs.filter(F.col("doc_id") % 17 != 0)
+    a = dsir_weights(cor, tgt, n_buckets=128).orderBy("doc_id").collect()
+    b = (dsir_weights(cor.repartition(13), tgt.repartition(5),
+                      n_buckets=128).orderBy("doc_id").collect())
+    assert a == b
+
+
+def test_dsir_model_join_is_broadcast(spark, sf_small):
+    """The B-bounded model must broadcast onto the doc profile — the
+    corpus is never shuffled on the bucket key for scoring."""
+    from pyspark.sql import functions as F
+
+    from geohash_dotnet_spark.operators.lm import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    tgt = docs.filter(F.col("doc_id") % 17 == 0)
+    cor = docs.filter(F.col("doc_id") % 17 != 0)
+    plan = (dsir_weights(cor, tgt, n_buckets=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan.split("Initial Plan")[0]
