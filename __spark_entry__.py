@@ -1512,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
         "ngram_jaccard_capped": q_ngram_jaccard_capped,  # CHANGED in r4
+        "events_asof": q_events_asof,  # CHANGED in r4 (make_dt_interval)
         # --- r3-green keys still inside the window
         "gh_encode_p5": q_encode_p5,
         "cover_california": q_cover_california,
@@ -1528,7 +1529,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_trend": q_tile_trend,
         "tile_hotspots": q_tile_hotspots,
         "tile_moran": q_tile_moran,
-        "events_asof": q_events_asof,
         "events_range_join": q_events_range,
         "events_time_rollup": q_events_time_rollup,
         "nearest_city": q_nearest_city,
