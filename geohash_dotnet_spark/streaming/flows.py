@@ -1,0 +1,116 @@
+"""Streaming OD tile flows: movement transitions over a live event
+stream.
+
+The streaming twin of ``operators/flows.tile_flows``: the batch form
+lag-windows each user's full history; a live pipeline must emit a
+(from_tile, to_tile) transition the moment a user's next event lands in
+a different cell, holding ONLY the user's last seen position — O(1)
+state per user, the canonical ``applyInPandasWithState`` shape.
+
+Ordering contract: within a micro-batch rows are sorted by (event-time,
+tiebreak) before transitions are derived, so any in-batch disorder is
+repaired; ACROSS batches a row older than the user's saved position is
+LATE (its true successor has already been emitted) and is dropped — the
+same decision Spark's own watermarked stateful operators make, applied
+per user. Feed the stream in event-time order (or within one batch) and
+the transition multiset equals the batch operator's exactly — asserted
+by the parity test.
+
+State per user: (last ts_us, last tiebreak, last tile) — one row.
+Inside the update fn everything is NumPy-vectorized per Arrow batch
+(sort + shifted-compare); no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.native import with_geohash
+
+OUT_SCHEMA = ("user string, from_tile string, to_tile string, "
+              "move_ts_us long")
+STATE_SCHEMA = "ts_us long, tb string, tile string"
+
+
+def streaming_tile_flows(spark: SparkSession, source_dir: str, schema: str,
+                         user: str = "user_id", ts: str = "ts",
+                         lat: str = "lat", lon: str = "lon",
+                         tiebreak: str = "event_id",
+                         precision: int = 2) -> DataFrame:
+    """Per-user cell-transition stream: one output row per move, with
+    O(1) state per user. Aggregating the output by (from_tile, to_tile)
+    reproduces the batch OD matrix (n_moves = count, n_users =
+    countDistinct user) when events arrive in event-time order.
+
+    The tile tag and the (ts, tiebreak) projection run JVM-side before
+    the stateful operator, so Python only ever sees four narrow
+    columns."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    g = with_geohash(stream, lat, lon, precision)
+    # NTZ-safe: unix_micros rejects TIMESTAMP_NTZ (cast is a no-op for
+    # plain TIMESTAMP; pin the session timezone for NTZ sources)
+    proj = g.select(F.col(user).cast("string").alias("user"),
+                    F.unix_micros(F.col(ts).cast("timestamp"))
+                    .alias("ts_us"),
+                    F.col(tiebreak).cast("string").alias("tb"),
+                    F.col("gh").alias("tile"))
+
+    def update(key, pdfs, state: "GroupState"):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(pdfs)
+        pdf = pd.concat(parts) if parts else pd.DataFrame(
+            columns=["user", "ts_us", "tb", "tile"])
+        pdf = pdf.sort_values(["ts_us", "tb"], kind="mergesort")
+        prev_tile = None
+        if state.exists:
+            lts, ltb, ltile = state.get
+            prev_tile = ltile
+            # late rows: strictly before the saved position under the
+            # (ts, tiebreak) total order
+            keep = (pdf["ts_us"].to_numpy() > lts) | (
+                (pdf["ts_us"].to_numpy() == lts)
+                & (pdf["tb"].to_numpy(dtype=object) > ltb))
+            pdf = pdf[keep]
+        if len(pdf) == 0:
+            yield pd.DataFrame(
+                {"user": pd.Series(dtype=object),
+                 "from_tile": pd.Series(dtype=object),
+                 "to_tile": pd.Series(dtype=object),
+                 "move_ts_us": pd.Series(dtype="int64")})
+            return
+        tiles = pdf["tile"].to_numpy(dtype=object)
+        head = tiles[0] if prev_tile is None else prev_tile
+        prev = np.concatenate(([head], tiles[:-1]))
+        moved = prev != tiles
+        out = pd.DataFrame({
+            "user": np.repeat(key[0], int(moved.sum())),
+            "from_tile": prev[moved],
+            "to_tile": tiles[moved],
+            "move_ts_us": pdf["ts_us"].to_numpy()[moved],
+        })
+        last = pdf.iloc[-1]
+        state.update((int(last["ts_us"]), str(last["tb"]),
+                      str(last["tile"])))
+        yield out
+
+    return (proj.groupBy("user")
+            .applyInPandasWithState(
+                update,
+                outputStructType=OUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def flows_from_transitions(transitions: DataFrame) -> DataFrame:
+    """Fold the transition stream's sink table into the OD matrix shape
+    of ``operators/flows.tile_flows`` (batch-side aggregation over the
+    appended transitions)."""
+    return (transitions.groupBy("from_tile", "to_tile")
+            .agg(F.count(F.lit(1)).alias("n_moves"),
+                 F.countDistinct("user").alias("n_users")))
