@@ -72,6 +72,7 @@ from geohash_dotnet_spark.operators import (  # noqa: E402
 from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
     dedup_clusters_sql,
     duplicate_spans_sql,
+    paragraph_dedup_sql,
     latest_snapshot_sql,
     minhash_lsh_sql,
     ngram_jaccard_sql,
@@ -1390,6 +1391,19 @@ def q_dup_spans(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (CCNet, Wenzek et al. 2020) with
+    document reconstruction — a unit survives only at its globally
+    first (id, pos) occurrence. The synthetic docs are single-line, so
+    the gate runs at word grain (sep=' '), which exercises the same
+    explode -> keyed-min election -> rebuild machinery the newline
+    production form uses."""
+    from geohash_dotnet_spark.operators import paragraph_dedup
+
+    return (paragraph_dedup(_docs(spark, sf_dir), sep=" ")
+            .orderBy("doc_id"))
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact per-language length quantiles (p50/p90/p99 of n_chars) —
     the corpus profile every curation run starts with. Exact
@@ -1508,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,        # NEW in r4
         "tile_anomaly": q_tile_anomaly,                # NEW in r4
         "dsir_weights": q_dsir_weights,                # NEW in r4
+        "paragraph_dedup": q_paragraph_dedup,          # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1893,6 +1908,11 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans":
             "SELECT * FROM ("
             + duplicate_spans_sql("SELECT * FROM documents", width=8)
+            + ") ORDER BY doc_id",
+        "paragraph_dedup":
+            "SELECT * FROM ("
+            + paragraph_dedup_sql("SELECT * FROM documents",
+                                  sep_sql="' '")
             + ") ORDER BY doc_id",
         "length_quantiles":
             "SELECT * FROM ("

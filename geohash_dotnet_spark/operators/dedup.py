@@ -775,3 +775,102 @@ SELECT id AS {id_col}, CAST(n_spans AS BIGINT) AS n_spans,
        {frac} AS dup_frac
 FROM d
 """
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text: str = "text", sep: str = "\n") -> DataFrame:
+    """Paragraph-level exact deduplication with document reconstruction
+    (CCNet, Wenzek et al. 2020: duplicated paragraphs are removed
+    corpus-wide before any document-level scoring — removes boilerplate
+    AND near-duplicate documents in one pass).
+
+    Each document is split on ``sep``; a paragraph SURVIVES only at its
+    globally first occurrence, ordered by ``(id, position)``; every
+    later occurrence (same doc or any other doc) is dropped. Documents
+    are reconstructed from their surviving paragraphs in original order.
+    Returns one row per input document:
+    ``(id_col, text_dedup, n_pars, n_kept)`` — ``text_dedup`` is ''
+    when every paragraph of the document occurred earlier elsewhere.
+
+    Scale shape (100 TB design point): keeper election is
+    ``min(struct(id, pos))`` — a partial-aggregable min on the
+    paragraph key, NOT a corpus-wide window (no single-partition sort
+    anywhere). The exchange ladder is: explode -> paragraph-keyed min
+    agg -> paragraph-keyed join back (reuses the agg's partitioning)
+    -> id-keyed reassembly -> id-keyed left stitch to the input (keeps
+    fully-deduped documents as empty rows). Reassembly sorts only
+    WITHIN one document (``array_sort`` over that document's own kept
+    paragraphs). The paragraph string itself is the dedup key — exact
+    by construction; at 10^12 docs swap the join key to a 128-bit md5
+    of the paragraph to cut shuffle bytes (never 60-bit: birthday
+    collisions would silently delete unique paragraphs).
+
+    ``sep`` is a literal separator (regex-escaped for the split).
+    """
+    import re as _re
+
+    pars = (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(F.split(F.col(text),
+                                           _re.escape(sep)))
+                      .alias("pos", "par")))
+    keep = (pars.groupBy("par")
+            .agg(F.min(F.struct("id", "pos")).alias("k")))
+    kept = (pars.join(keep, "par")
+            .filter((F.col("k.id") == F.col("id"))
+                    & (F.col("k.pos") == F.col("pos")))
+            .drop("k"))
+    rebuilt = (kept.groupBy("id")
+               .agg(F.concat_ws(
+                        sep,
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "par"))),
+                            lambda s: s["par"])).alias("text_dedup"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text), _re.escape(sep))).cast("long")
+        .alias("n_pars"))
+    return (totals.join(rebuilt, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    "n_pars",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept")))
+
+
+def paragraph_dedup_sql(inner: str, id_col: str = "doc_id",
+                        text: str = "text",
+                        sep_sql: str = "chr(10)") -> str:
+    """DuckDB oracle twin of :func:`paragraph_dedup`.
+
+    ``sep_sql`` is a DuckDB expression for the separator (default
+    newline; pass ``"' '"`` for word grain). Keeper election uses a
+    window (fine for an oracle; the Spark side deliberately does not).
+    """
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, string_split({text}, {sep_sql}) AS l
+  FROM ({inner})
+), p AS (
+  SELECT id, CAST(i AS BIGINT) AS pos, l[i + 1] AS par
+  FROM t, UNNEST(range(len(l))) AS u(i)
+), keep AS (
+  SELECT id, pos, par FROM (
+    SELECT id, pos, par,
+           row_number() OVER (PARTITION BY par ORDER BY id, pos) AS rn
+    FROM p)
+  WHERE rn = 1
+), agg AS (
+  SELECT id, string_agg(par, {sep_sql} ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM keep GROUP BY id
+), tot AS (
+  SELECT id, count(*) AS n_pars FROM p GROUP BY id
+)
+SELECT tot.id AS {id_col},
+       COALESCE(agg.text_dedup, '') AS text_dedup,
+       CAST(tot.n_pars AS BIGINT) AS n_pars,
+       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
+FROM tot LEFT JOIN agg ON tot.id = agg.id
+"""

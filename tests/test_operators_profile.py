@@ -100,3 +100,50 @@ def test_tile_anomaly_degenerate_tiles_emit_null_z(spark):
     out = tile_anomaly(df, precision=2).collect()
     assert len(out) == 3
     assert all(r["z"] is None for r in out)
+
+
+def test_paragraph_dedup_global_first_wins(spark):
+    from geohash_dotnet_spark.operators.dedup import paragraph_dedup
+    rows = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta"),        # beta already owned by doc 1 pos 1
+        (3, "alpha\nbeta"),        # fully deduped away
+    ]
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(_docs(spark, rows)).collect()}
+    assert out[1]["text_dedup"] == "alpha\nbeta\ngamma"
+    assert (out[1]["n_pars"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["text_dedup"] == "delta"
+    assert (out[2]["n_pars"], out[2]["n_kept"]) == (2, 1)
+    # every paragraph of doc 3 occurred earlier -> empty but present
+    assert out[3]["text_dedup"] == ""
+    assert (out[3]["n_pars"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_paragraph_dedup_within_doc_repeat_and_order(spark):
+    from geohash_dotnet_spark.operators.dedup import paragraph_dedup
+    rows = [(7, "x\ny\nx\nz")]  # repeat inside ONE doc also collapses
+    out = paragraph_dedup(_docs(spark, rows)).collect()[0]
+    assert out["text_dedup"] == "x\ny\nz"  # original order preserved
+    assert (out["n_pars"], out["n_kept"]) == (4, 3)
+
+
+def test_paragraph_dedup_layout_independent(spark, sf_med):
+    from geohash_dotnet_spark.operators.dedup import paragraph_dedup
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+    a = paragraph_dedup(docs, sep=" ").orderBy("doc_id").collect()
+    b = (paragraph_dedup(docs.repartition(13), sep=" ")
+         .orderBy("doc_id").collect())
+    assert a == b
+
+
+def test_paragraph_dedup_no_window_sort(spark):
+    """The 100 TB claim in the docstring, pinned: keeper election is a
+    keyed min agg, never a corpus-wide Window (no single-partition
+    sort node anywhere in the plan)."""
+    from geohash_dotnet_spark.operators.dedup import paragraph_dedup
+    rows = [(1, "a\nb"), (2, "b\nc")]
+    plan = (paragraph_dedup(_docs(spark, rows))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
