@@ -1404,6 +1404,33 @@ def q_paragraph_dedup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_rect_join(spark, sf_dir):
+    """Rectangle<->rectangle overlap self-join via grid-cell candidates +
+    reference-point dedup (ONE equi-join, no distinct). Rects are derived
+    deterministically from events (hash-geocoded centers, event_id-keyed
+    half-sizes); the DuckDB oracle is the INDEPENDENT quadratic pairwise
+    join, so the cell-partitioned algorithm's exactly-once geometry is
+    value-checked against brute force."""
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+    from geohash_dotnet_spark.operators import rect_overlap_join
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("event_id") % 3 == 0)
+          .withColumn("__eid", F.col("event_id").cast("string")))
+    ev = geocode_from_url(ev, url="__eid")
+    rects = ev.select(
+        F.col("event_id").alias("rect_id"),
+        (F.col("lat") * 0.8 - (0.3 + (F.col("event_id") % 5) * 0.2))
+        .alias("min_lat"),
+        (F.col("lat") * 0.8 + (0.3 + (F.col("event_id") % 5) * 0.2))
+        .alias("max_lat"),
+        (F.col("lon") * 0.8 - (0.4 + (F.col("event_id") % 7) * 0.25))
+        .alias("min_lon"),
+        (F.col("lon") * 0.8 + (0.4 + (F.col("event_id") % 7) * 0.25))
+        .alias("max_lon"))
+    return rect_overlap_join(rects, cell_deg=2.0).orderBy("a_id", "b_id")
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact per-language length quantiles (p50/p90/p99 of n_chars) —
     the corpus profile every curation run starts with. Exact
@@ -1523,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_anomaly": q_tile_anomaly,                # NEW in r4
         "dsir_weights": q_dsir_weights,                # NEW in r4
         "paragraph_dedup": q_paragraph_dedup,          # NEW in r4
+        "rect_join": q_rect_join,                      # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1914,6 +1942,25 @@ def oracle_sql() -> dict[str, str]:
             + paragraph_dedup_sql("SELECT * FROM documents",
                                   sep_sql="' '")
             + ") ORDER BY doc_id",
+        # independent oracle ALGORITHM: brute-force quadratic pairwise
+        # join (the Spark side is the cell-partitioned exactly-once form)
+        "rect_join":
+            "WITH r AS (SELECT event_id AS rect_id, "
+            + geocode_lat_sql("CAST(event_id AS VARCHAR)")
+            + " * 0.8 AS clat, "
+            + geocode_lon_sql("CAST(event_id AS VARCHAR)")
+            + " * 0.8 AS clon, "
+            "(0.3 + (event_id % 5) * 0.2) AS hh, "
+            "(0.4 + (event_id % 7) * 0.25) AS hw "
+            "FROM events WHERE event_id % 3 = 0), "
+            "b AS (SELECT rect_id, clat - hh AS min_lat, "
+            "clat + hh AS max_lat, clon - hw AS min_lon, "
+            "clon + hw AS max_lon FROM r) "
+            "SELECT x.rect_id AS a_id, y.rect_id AS b_id "
+            "FROM b x JOIN b y ON x.rect_id < y.rect_id "
+            "AND x.min_lat <= y.max_lat AND y.min_lat <= x.max_lat "
+            "AND x.min_lon <= y.max_lon AND y.min_lon <= x.max_lon "
+            "ORDER BY a_id, b_id",
         "length_quantiles":
             "SELECT * FROM ("
             + group_quantiles_sql("SELECT * FROM documents")

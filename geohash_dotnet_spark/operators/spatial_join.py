@@ -126,3 +126,57 @@ def tile_stats(pages_df: DataFrame, precision: int, prefix_len: int | None = Non
     return (tagged.groupBy(key.alias("tile"))
             .agg(F.count(F.lit(1)).alias("n_pages"),
                  F.countDistinct("url").alias("n_urls")))
+
+
+def rect_overlap_join(rects_df: DataFrame, cell_deg: float = 1.0,
+                      id_col: str = "rect_id") -> DataFrame:
+    """Rectangle<->rectangle overlap self-join via grid-cell partitioning
+    (PBSM / reference-point method) — the shape-to-shape analogue of the
+    point-in-polygon join (README.md:58-86 recipe, generalized to two
+    extended operands).
+
+    Input: ``(id_col, min_lat, max_lat, min_lon, max_lon)``. Output: the
+    distinct pairs ``(a_id, b_id)`` with ``a_id < b_id`` whose boxes
+    intersect (closed-interval semantics: edge touching counts).
+
+    Scale shape (100 TB design point): the naive form is an O(N^2) cross
+    join; this one is ONE equi-join. Each rect is exploded onto the
+    lat/lon grid cells (side ``cell_deg`` degrees) its box touches, the
+    self-join is an equi-join on ``(xi, yi)``, and the exact interval
+    predicate refines the candidates. A pair sharing k cells would
+    surface k times; instead of a `distinct` (second full shuffle) each
+    pair is emitted ONLY from the cell containing the intersection's
+    lower-left corner — the classic duplicate-avoidance trick (Patel &
+    DeWitt, SIGMOD'96): zero extra shuffles, exactly-once by geometry.
+    ``cell_deg`` trades replication (small cells -> more copies of big
+    rects) against candidate selectivity (big cells -> more false
+    candidates); size it near the median rect side. Dense cells are the
+    skew risk — AQE skew-join splits them at runtime; antimeridian-
+    crossing boxes must be pre-split by the caller (kernels.polygon
+    SplitAntimeridian semantics).
+    """
+    cell = float(cell_deg)
+    exploded = (rects_df
+                .withColumn("xi", F.explode(F.sequence(
+                    F.floor(F.col("min_lon") / cell),
+                    F.floor(F.col("max_lon") / cell))))
+                .withColumn("yi", F.explode(F.sequence(
+                    F.floor(F.col("min_lat") / cell),
+                    F.floor(F.col("max_lat") / cell)))))
+    a = exploded.select(F.col(id_col).alias("a_id"), "xi", "yi",
+                        *[F.col(c).alias(f"a_{c}") for c in
+                          ("min_lat", "max_lat", "min_lon", "max_lon")])
+    b = exploded.select(F.col(id_col).alias("b_id"), "xi", "yi",
+                        *[F.col(c).alias(f"b_{c}") for c in
+                          ("min_lat", "max_lat", "min_lon", "max_lon")])
+    ref_lon = F.greatest("a_min_lon", "b_min_lon")
+    ref_lat = F.greatest("a_min_lat", "b_min_lat")
+    return (a.join(b, ["xi", "yi"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter((F.col("a_min_lat") <= F.col("b_max_lat"))
+                    & (F.col("b_min_lat") <= F.col("a_max_lat"))
+                    & (F.col("a_min_lon") <= F.col("b_max_lon"))
+                    & (F.col("b_min_lon") <= F.col("a_max_lon")))
+            .filter((F.floor(ref_lon / cell) == F.col("xi"))
+                    & (F.floor(ref_lat / cell) == F.col("yi")))
+            .select("a_id", "b_id"))

@@ -895,3 +895,74 @@ def test_quality_driver_key_exercises_slow_path(spark):
         src = out[k - 1_000_000]
         assert v["lang_pred"] == src["lang_pred"]
         assert abs(v["stopword_ratio"] - src["stopword_ratio"]) < 0.02
+
+
+def _rects_df(spark, n=200, seed=7):
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-70, 70, n)
+    lon = rng.uniform(-170, 170, n)
+    hh = rng.uniform(0.2, 3.0, n)
+    hw = rng.uniform(0.2, 4.0, n)
+    pdf = pd.DataFrame({
+        "rect_id": np.arange(n, dtype=np.int64),
+        "min_lat": lat - hh, "max_lat": lat + hh,
+        "min_lon": lon - hw, "max_lon": lon + hw,
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def _brute_pairs(pdf):
+    out = set()
+    r = pdf.to_numpy()
+    for i in range(len(r)):
+        for j in range(i + 1, len(r)):
+            a, b = r[i], r[j]
+            if (a[1] <= b[2] and b[1] <= a[2]
+                    and a[3] <= b[4] and b[3] <= a[4]):
+                out.add((int(a[0]), int(b[0])))
+    return out
+
+
+def test_rect_overlap_join_matches_bruteforce(spark):
+    from geohash_dotnet_spark.operators import rect_overlap_join
+    df, pdf = _rects_df(spark)
+    got = {(r["a_id"], r["b_id"])
+           for r in rect_overlap_join(df, cell_deg=2.0).collect()}
+    assert got == _brute_pairs(pdf)
+
+
+def test_rect_overlap_join_exactly_once_across_many_cells(spark):
+    """Two rects sharing dozens of grid cells still yield ONE pair row
+    (reference-point dedup), at several cell sizes."""
+    from geohash_dotnet_spark.operators import rect_overlap_join
+    pdf = pd.DataFrame({
+        "rect_id": [1, 2],
+        "min_lat": [-10.0, -9.5], "max_lat": [10.0, 11.0],
+        "min_lon": [-20.0, -19.0], "max_lon": [20.0, 25.0],
+    })
+    df = spark.createDataFrame(pdf)
+    for cell in (0.5, 1.0, 5.0):
+        rows = rect_overlap_join(df, cell_deg=cell).collect()
+        assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
+
+
+def test_rect_overlap_join_plan_one_equijoin_no_distinct(spark):
+    """The 100 TB shape, pinned: candidates come from ONE (xi, yi)
+    equi-join — no cartesian/nested-loop node and no deduplicating
+    second shuffle anywhere in the plan."""
+    from geohash_dotnet_spark.operators import rect_overlap_join
+    df, _ = _rects_df(spark, n=8)
+    plan = (rect_overlap_join(df, cell_deg=2.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Distinct" not in plan and "distinct" not in plan
+
+
+def test_rect_overlap_join_layout_independent(spark):
+    from geohash_dotnet_spark.operators import rect_overlap_join
+    df, _ = _rects_df(spark, n=120, seed=3)
+    a = sorted(map(tuple, rect_overlap_join(df, 2.0).collect()))
+    b = sorted(map(tuple,
+                   rect_overlap_join(df.repartition(13), 2.0).collect()))
+    assert a == b
