@@ -107,6 +107,9 @@ from geohash_dotnet_spark.operators.sessions import sessionize_sql  # noqa: E402
 from geohash_dotnet_spark.operators.clustering import (  # noqa: E402
     tile_density_clusters_sql,
 )
+from geohash_dotnet_spark.operators.colocation import (  # noqa: E402
+    cotravel_pairs_sql,
+)
 from geohash_dotnet_spark.operators.index import (  # noqa: E402
     bm25_topk_sql,
     build_postings_sql,
@@ -1431,6 +1434,25 @@ def q_rect_join(spark, sf_dir):
     return rect_overlap_join(rects, cell_deg=2.0).orderBy("a_id", "b_id")
 
 
+def q_cotravel(spark, sf_dir):
+    """Co-travel pair detection over the events stream: distinct
+    (user, p1-tile, 6h-bucket) presence -> occupancy-capped
+    (max_cell_users=8, so the crowd-cell guard is exercised under the
+    value gate) -> presence self-join -> pair aggregation with the
+    min_cobuckets=2 evidence floor. All-integer outputs — bit-identical
+    cross-engine."""
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+    from geohash_dotnet_spark.operators import cotravel_pairs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("__eid", F.col("event_id").cast("string")))
+    ev = geocode_from_url(ev, url="__eid")
+    return (cotravel_pairs(ev, precision=1, bucket_s=21600,
+                           min_cobuckets=2, max_cell_users=8)
+            .orderBy("user_a", "user_b"))
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact per-language length quantiles (p50/p90/p99 of n_chars) —
     the corpus profile every curation run starts with. Exact
@@ -1551,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,                # NEW in r4
         "paragraph_dedup": q_paragraph_dedup,          # NEW in r4
         "rect_join": q_rect_join,                      # NEW in r4
+        "cotravel_pairs": q_cotravel,                  # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1580,17 +1603,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
-        # --- window boundary: the 19 r4 insertions (domain_quota,
-        # domain_mixture, sample_exact, sample_exact_by_lang,
-        # tile_clusters, postings, bm25_search, bigram_ppl,
-        # collocations, snapshot_diff, tile_flows, kmeans_codebook,
-        # char_entropy, user_mobility, host_pagerank, dup_spans,
-        # length_quantiles, tile_anomaly, dsir_weights) plus the
-        # promoted r4-changed keys (quality, decontaminate,
-        # ngram_jaccard, ngram_jaccard_capped) push every key from
-        # position 51 down out of the 50-key window — the live boundary
-        # sits right after cover_tracks (position 50); count keys above
-        # to re-derive it.
+        # --- window boundary: the r4 insertions (domain_quota …
+        # dsir_weights, paragraph_dedup, rect_join, cotravel_pairs)
+        # plus the promoted r4-changed keys (quality, decontaminate,
+        # ngram_jaccard, ngram_jaccard_capped, events_asof) push every
+        # key from position 51 down out of the 50-key window — the
+        # live boundary sits right after dedup_clusters (position 50);
+        # count keys above to re-derive it
+        # (tests/test_entry_oracle.py::test_window_boundary pins it).
         # All rotated-out keys were green in r3 AND unchanged since, so
         # their rows stay <=2 rounds old; rotate them back inside the
         # window in r5.
@@ -1904,6 +1924,17 @@ def oracle_sql() -> dict[str, str]:
                 + " AS lon FROM events)",
                 precision=2, tiebreak="event_id")
             + ") ORDER BY from_tile, to_tile",
+        "cotravel_pairs":
+            "SELECT * FROM ("
+            + cotravel_pairs_sql(
+                "(SELECT user_id, ts, "
+                + geocode_lat_sql("CAST(event_id AS VARCHAR)")
+                + " AS lat, "
+                + geocode_lon_sql("CAST(event_id AS VARCHAR)")
+                + " AS lon FROM events)",
+                precision=1, bucket_s=21600, min_cobuckets=2,
+                max_cell_users=8)
+            + ") ORDER BY user_a, user_b",
         "snapshot_diff":
             "SELECT * FROM ("
             + snapshot_diff_sql(

@@ -75,3 +75,31 @@ def test_entry_smoke(spark):
 def test_non_sql_queries_run(spark, name):
     df = E.queries()[name](spark, SF)
     assert df.count() >= 0
+
+
+def test_window_boundary():
+    """The external driver value-checks only the FIRST 50 ``queries()``
+    keys (insertion order). Every key that is new this round, changed
+    this round, or was red/never-checked before MUST sit inside that
+    window — pin the set so a careless registry edit fails loudly."""
+    keys = list(E.queries())
+    window = set(keys[:50])
+    must_check = {
+        # never driver-checked before r4 / red in r3 / changed in r3
+        "vocab_topk", "url_canonical_dedup", "extract_text",
+        "pack_shards", "semantic_dedup", "ivf_cosine_topk",
+        "url_host_stats",
+        # changed in r4
+        "quality", "decontaminate", "ngram_jaccard",
+        "ngram_jaccard_capped", "events_asof",
+        # new in r4
+        "domain_quota", "domain_mixture", "sample_exact",
+        "sample_exact_by_lang", "tile_clusters", "postings",
+        "bm25_search", "bigram_ppl", "collocations", "snapshot_diff",
+        "tile_flows", "kmeans_codebook", "char_entropy",
+        "user_mobility", "host_pagerank", "dup_spans",
+        "length_quantiles", "tile_anomaly", "dsir_weights",
+        "paragraph_dedup", "rect_join", "cotravel_pairs",
+    }
+    missing = must_check - window
+    assert not missing, f"must-check keys outside the 50-key window: {missing}"
