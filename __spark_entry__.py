@@ -107,6 +107,7 @@ from geohash_dotnet_spark.operators.sessions import sessionize_sql  # noqa: E402
 from geohash_dotnet_spark.operators.clustering import (  # noqa: E402
     tile_density_clusters_sql,
 )
+from geohash_dotnet_spark.operators.bpe import bpe_merges_sql  # noqa: E402
 from geohash_dotnet_spark.operators.colocation import (  # noqa: E402
     cotravel_pairs_sql,
 )
@@ -1434,6 +1435,19 @@ def q_rect_join(spark, sf_dir):
     return rect_overlap_join(rects, cell_deg=2.0).orderBy("a_id", "b_id")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training: 10 merge rounds over the
+    documents corpus — ONE corpus exchange (word counts), then
+    vocabulary-scale pair aggregations with a single driver-synced
+    argmax row per round and literal-merge fold projections (zero
+    joins). Every merge decision depends on the full history of prior
+    applications, so the DuckDB chained-CTE replay value-checks the
+    whole recursion."""
+    from geohash_dotnet_spark.operators import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), n_merges=10).orderBy("rank")
+
+
 def q_cotravel(spark, sf_dir):
     """Co-travel pair detection over the events stream: distinct
     (user, p1-tile, 6h-bucket) presence -> occupancy-capped
@@ -1574,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,          # NEW in r4
         "rect_join": q_rect_join,                      # NEW in r4
         "cotravel_pairs": q_cotravel,                  # NEW in r4
+        "bpe_merges": q_bpe_merges,                    # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1608,7 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus the promoted r4-changed keys (quality, decontaminate,
         # ngram_jaccard, ngram_jaccard_capped, events_asof) push every
         # key from position 51 down out of the 50-key window — the
-        # live boundary sits right after dedup_clusters (position 50);
+        # live boundary sits right after exact_dedup_groups (position 50);
         # count keys above to re-derive it
         # (tests/test_entry_oracle.py::test_window_boundary pins it).
         # All rotated-out keys were green in r3 AND unchanged since, so
@@ -1935,6 +1950,10 @@ def oracle_sql() -> dict[str, str]:
                 precision=1, bucket_s=21600, min_cobuckets=2,
                 max_cell_users=8)
             + ") ORDER BY user_a, user_b",
+        "bpe_merges":
+            "SELECT * FROM ("
+            + bpe_merges_sql(n_merges=10)
+            + ") ORDER BY rank",
         "snapshot_diff":
             "SELECT * FROM ("
             + snapshot_diff_sql(
