@@ -1435,6 +1435,37 @@ def q_rect_join(spark, sf_dir):
     return rect_overlap_join(rects, cell_deg=2.0).orderBy("a_id", "b_id")
 
 
+def _rect_wkt(s, w, n, e):
+    return f"POLYGON(({w} {s}, {e} {s}, {e} {n}, {w} {n}, {w} {s}))"
+
+
+# zonal-stats zones: rectangles (so the DuckDB oracle is an independent
+# bounds formulation, not a replay of the covering); eu_east overlaps eu,
+# exercising multi-zone membership under the value gate
+ZONAL_ZONES = [("eu", (35.0, 0.0, 60.0, 40.0)),
+               ("na", (25.0, -130.0, 55.0, -60.0)),
+               ("eu_east", (30.0, 20.0, 55.0, 60.0))]
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (raster<->vector): per-zone event counts + exact
+    micro-unit value sums via the interior/boundary covering split —
+    contains-cells skip geometry entirely; only the boundary-band
+    sliver pays the vectorized even-odd test. One broadcast join, the
+    point table never shuffles. The DuckDB oracle is the INDEPENDENT
+    exact-bounds membership test, so the split's exactness is
+    value-gated."""
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+    from geohash_dotnet_spark.operators import zonal_stats
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("__eid", F.col("event_id").cast("string")))
+    ev = geocode_from_url(ev, url="__eid")
+    zones = [(z, _rect_wkt(*b)) for z, b in ZONAL_ZONES]
+    return (zonal_stats(ev, zones, precision=3, value="value")
+            .orderBy("zone_id"))
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training: 10 merge rounds over the
     documents corpus — ONE corpus exchange (word counts), then
@@ -1589,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_join": q_rect_join,                      # NEW in r4
         "cotravel_pairs": q_cotravel,                  # NEW in r4
         "bpe_merges": q_bpe_merges,                    # NEW in r4
+        "zonal_stats": q_zonal_stats,                  # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1623,7 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus the promoted r4-changed keys (quality, decontaminate,
         # ngram_jaccard, ngram_jaccard_capped, events_asof) push every
         # key from position 51 down out of the 50-key window — the
-        # live boundary sits right after exact_dedup_groups (position 50);
+        # live boundary sits right after compress_covering (position 50);
         # count keys above to re-derive it
         # (tests/test_entry_oracle.py::test_window_boundary pins it).
         # All rotated-out keys were green in r3 AND unchanged since, so
@@ -1954,6 +1986,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + bpe_merges_sql(n_merges=10)
             + ") ORDER BY rank",
+        "zonal_stats":
+            " UNION ALL ".join(
+                f"SELECT '{z}' AS zone_id, count(*) AS n_points, "
+                f"CAST(sum(CAST(floor(value * 1000000.0e0 + 0.5e0) "
+                f"AS BIGINT)) AS DOUBLE) / 1000000.0e0 AS sum_value "
+                f"FROM (SELECT value, "
+                + geocode_lat_sql("CAST(event_id AS VARCHAR)")
+                + " AS lat, "
+                + geocode_lon_sql("CAST(event_id AS VARCHAR)")
+                + f" AS lon FROM events) "
+                f"WHERE lat > {s} AND lat < {n} "
+                f"AND lon > {w} AND lon < {e}"
+                for z, (s, w, n, e) in ZONAL_ZONES)
+            + " ORDER BY zone_id",
         "snapshot_diff":
             "SELECT * FROM ("
             + snapshot_diff_sql(
