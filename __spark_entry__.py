@@ -114,6 +114,7 @@ from geohash_dotnet_spark.operators.colocation import (  # noqa: E402
 from geohash_dotnet_spark.operators.index import (  # noqa: E402
     bm25_topk_sql,
     build_postings_sql,
+    phrase_match_sql,
 )
 from geohash_dotnet_spark.operators.cdc import snapshot_diff_sql  # noqa: E402
 from geohash_dotnet_spark.operators.flows import (  # noqa: E402
@@ -1447,6 +1448,18 @@ ZONAL_ZONES = [("eu", (35.0, 0.0, 60.0, 40.0)),
                ("eu_east", (30.0, 20.0, 55.0, 60.0))]
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search ("table hash") — Lucene-PhraseQuery
+    semantics as a ZERO-SHUFFLE projection: the phrase is a query-side
+    literal, so each document tests its own token array over candidate
+    start positions (overlapping occurrences counted); no positional
+    postings are materialized or joined."""
+    from geohash_dotnet_spark.operators import phrase_match
+
+    return phrase_match(_docs(spark, sf_dir), "table hash") \
+        .orderBy("doc_id")
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (raster<->vector): per-zone event counts + exact
     micro-unit value sums via the interior/boundary covering split —
@@ -1621,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cotravel_pairs": q_cotravel,                  # NEW in r4
         "bpe_merges": q_bpe_merges,                    # NEW in r4
         "zonal_stats": q_zonal_stats,                  # NEW in r4
+        "phrase_search": q_phrase_search,              # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1655,7 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus the promoted r4-changed keys (quality, decontaminate,
         # ngram_jaccard, ngram_jaccard_capped, events_asof) push every
         # key from position 51 down out of the 50-key window — the
-        # live boundary sits right after compress_covering (position 50);
+        # live boundary sits right after spatial_join_refined (position 50);
         # count keys above to re-derive it
         # (tests/test_entry_oracle.py::test_window_boundary pins it).
         # All rotated-out keys were green in r3 AND unchanged since, so
@@ -1986,6 +2000,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + bpe_merges_sql(n_merges=10)
             + ") ORDER BY rank",
+        "phrase_search":
+            "SELECT * FROM ("
+            + phrase_match_sql("table hash")
+            + ") ORDER BY doc_id",
         "zonal_stats":
             " UNION ALL ".join(
                 f"SELECT '{z}' AS zone_id, count(*) AS n_points, "

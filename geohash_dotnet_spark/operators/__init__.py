@@ -61,7 +61,7 @@ from .zonal import zonal_stats  # noqa: F401
 from .colocation import cotravel_pairs  # noqa: F401
 from .flows import tile_flows, user_mobility  # noqa: F401
 from .graph import host_edges, pagerank  # noqa: F401
-from .index import bm25_topk, build_postings  # noqa: F401
+from .index import bm25_topk, build_postings, phrase_match  # noqa: F401
 from .kmeans import kmeans_assign, kmeans_fit  # noqa: F401
 from .lm import bigram_ppl, collocations, dsir_weights  # noqa: F401
 from .hotspots import focal_hotspots, moran_i, tile_anomaly  # noqa: F401

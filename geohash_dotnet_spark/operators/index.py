@@ -53,6 +53,8 @@ __all__ = [
     "build_postings_sql",
     "bm25_topk",
     "bm25_topk_sql",
+    "phrase_match",
+    "phrase_match_sql",
 ]
 
 _TOKS_SQL = "string_split_regex(trim(lower({text})), '\\s+')"
@@ -246,4 +248,69 @@ SELECT qid, CAST(row_number() OVER (
          PARTITION BY qid ORDER BY s_u DESC, id) AS BIGINT) AS rank,
        id AS {id_col}, CAST(s_u AS DOUBLE) / 1000000.0 AS score
 FROM per_doc QUALIFY rank <= {int(k)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase matching
+# ---------------------------------------------------------------------------
+
+def phrase_match(df: DataFrame, phrase: str, id_col: str = "doc_id",
+                 text: str = "text") -> DataFrame:
+    """Exact token-phrase search: documents where the tokens of
+    ``phrase`` occur consecutively; returns (id, n_occurrences,
+    first_pos) with 1-based positions, overlapping occurrences counted
+    ("a a a" contains "a a" twice).
+
+    The positional-index semantics (Lucene PhraseQuery) expressed as a
+    ZERO-SHUFFLE projection: the phrase is a query-side literal, so
+    instead of building/joining positional postings (m−1 corpus-scale
+    (id, pos) equi-joins), each document tests its own token array with
+    a higher-order filter over candidate start positions — one corpus
+    scan, no exchange anywhere before the result. The HOF predicate is
+    interpreted, but the tree is m equalities per position and the
+    first-token equality fails fast for almost all positions (the same
+    interpreted-but-small call the quality projection documents).
+    Position arithmetic is identical 1-based element_at in both
+    engines.
+    """
+    terms = [t for t in phrase.strip().lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    m = len(terms)
+    cond = " AND ".join(
+        f"element_at(toks, CAST(i + {k} AS INT)) = '{t}'"
+        for k, t in enumerate(terms))
+    positions = (f"CASE WHEN size(toks) < {m} THEN array() "
+                 f"ELSE filter(sequence(1, size(toks) - {m} + 1), "
+                 f"i -> {cond}) END")
+    out = (df.select(F.col(id_col), _tokens(F.col(text)).alias("toks"))
+           .select(id_col, F.expr(positions).alias("__pos"))
+           .filter(F.size("__pos") > 0)
+           .select(id_col,
+                   F.size("__pos").cast("long").alias("n_occurrences"),
+                   F.element_at("__pos", 1).cast("long").alias("first_pos")))
+    return out
+
+
+def phrase_match_sql(phrase: str, inner: str = "documents",
+                     id_col: str = "doc_id", text: str = "text") -> str:
+    """DuckDB oracle twin of :func:`phrase_match`."""
+    terms = [t for t in phrase.strip().lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    m = len(terms)
+    toks = _TOKS_SQL.format(text=text)
+    cond = " AND ".join(f"toks[i + {k}] = '{t}'"
+                        for k, t in enumerate(terms))
+    return f"""
+WITH t AS (SELECT {id_col}, {toks} AS toks FROM {inner}),
+p AS (
+  SELECT {id_col},
+         list_filter(range(1, len(toks) - {m} + 2), i -> {cond}) AS pos
+  FROM t
+)
+SELECT {id_col}, CAST(len(pos) AS BIGINT) AS n_occurrences,
+       CAST(pos[1] AS BIGINT) AS first_pos
+FROM p WHERE len(pos) > 0
 """
