@@ -199,6 +199,16 @@ def main() -> None:
     timed("q8_minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
     timed("q9_simhash_pairs", lambda: simhash_near_pairs(docs, max_hamming=3).count())
 
+    # q10 (added r4; headline estimator untouched): zonal stats over the
+    # 5M-point pages working set — California polygon + two rect zones,
+    # interior/boundary covering split at p3, one broadcast join
+    from geohash_dotnet_spark.operators import zonal_stats
+    zones = [("ca", cal),
+             ("eu", "POLYGON((0 35, 40 35, 40 60, 0 60, 0 35))"),
+             ("na", "POLYGON((-130 25, -60 25, -60 55, -130 55, -130 25))")]
+    timed("q10_zonal_stats_p3",
+          lambda: zonal_stats(pg, zones, precision=3).collect())
+
     # temporal decorrelation for the two headline queries: a sustained
     # CPU-steal window early in the run inflates all N consecutive
     # samples at once (observed: q1 floor 3.6s in one window vs 0.68s
