@@ -108,6 +108,7 @@ from geohash_dotnet_spark.operators.clustering import (  # noqa: E402
     tile_density_clusters_sql,
 )
 from geohash_dotnet_spark.operators.bpe import bpe_merges_sql  # noqa: E402
+from geohash_dotnet_spark.operators.tracks import corridor_join_sql  # noqa: E402
 from geohash_dotnet_spark.operators.colocation import (  # noqa: E402
     cotravel_pairs_sql,
 )
@@ -1448,6 +1449,35 @@ ZONAL_ZONES = [("eu", (35.0, 0.0, 60.0, 40.0)),
                ("eu_east", (30.0, 20.0, 55.0, 60.0))]
 
 
+
+# corridor route: two polylines (Europe, North America); radius 3 deg at
+# p2 satisfies the radius <= min-cell-dimension candidate-ring argument
+CORRIDOR_SEGS = [("eu1", 40.0, 0.0, 45.0, 10.0),
+                 ("eu2", 45.0, 10.0, 48.0, 20.0),
+                 ("eu3", 48.0, 20.0, 50.0, 30.0),
+                 ("na1", 30.0, -120.0, 40.0, -90.0),
+                 ("na2", 40.0, -90.0, 45.0, -70.0)]
+
+
+def q_corridor_join(spark, sf_dir):
+    """Corridor (route-buffer) join: events within 3 deg of a 5-segment
+    route — driver-side sample+2-ring candidate cells broadcast, exact
+    planar segment-distance refine as a pure codegen expression (one
+    shared IEEE tree: +,-,*,/ /sqrt/clamp only, so dist_deg is
+    bit-identical cross-engine with NO quantization). The DuckDB
+    oracle is the INDEPENDENT brute-force cross join — no cell index —
+    so the candidate ring's soundness is value-gated."""
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+    from geohash_dotnet_spark.operators import corridor_join
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("__eid", F.col("event_id").cast("string")))
+    ev = geocode_from_url(ev, url="__eid").select("event_id", "lat", "lon")
+    return (corridor_join(ev, CORRIDOR_SEGS, radius_deg=3.0, precision=2)
+            .select("event_id", "seg_id", "dist_deg")
+            .orderBy("event_id", "seg_id"))
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact phrase search ("table hash") — Lucene-PhraseQuery
     semantics as a ZERO-SHUFFLE projection: the phrase is a query-side
@@ -1635,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,                    # NEW in r4
         "zonal_stats": q_zonal_stats,                  # NEW in r4
         "phrase_search": q_phrase_search,              # NEW in r4
+        "corridor_join": q_corridor_join,              # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1669,7 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus the promoted r4-changed keys (quality, decontaminate,
         # ngram_jaccard, ngram_jaccard_capped, events_asof) push every
         # key from position 51 down out of the 50-key window — the
-        # live boundary sits right after spatial_join_refined (position 50);
+        # live boundary sits right after cover_circles_table (position 50);
         # count keys above to re-derive it
         # (tests/test_entry_oracle.py::test_window_boundary pins it).
         # All rotated-out keys were green in r3 AND unchanged since, so
@@ -2004,6 +2035,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + phrase_match_sql("table hash")
             + ") ORDER BY doc_id",
+        "corridor_join":
+            "SELECT * FROM ("
+            + corridor_join_sql(
+                "SELECT event_id, "
+                + geocode_lat_sql("CAST(event_id AS VARCHAR)")
+                + " AS lat, "
+                + geocode_lon_sql("CAST(event_id AS VARCHAR)")
+                + " AS lon FROM events",
+                CORRIDOR_SEGS, 3.0, keep="p.event_id")
+            + ") ORDER BY event_id, seg_id",
         "zonal_stats":
             " UNION ALL ".join(
                 f"SELECT '{z}' AS zone_id, count(*) AS n_points, "

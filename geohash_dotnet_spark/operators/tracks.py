@@ -30,7 +30,7 @@ from ..functions.native import with_geohash
 from ..functions.oracle import tagged_select_sql
 from ..kernels.geohash import lat_lng_steps
 
-__all__ = ["cover_tracks", "cover_tracks_sql"]
+__all__ = ["cover_tracks", "cover_tracks_sql", "corridor_join", "corridor_join_sql"]
 
 
 def _samples_expr(lat_step: float, lng_step: float, oversample: float,
@@ -104,3 +104,131 @@ FROM (SELECT *, unnest(range(0, __n + 1)) AS __i
 """
     tagged = tagged_select_sql(pts, precision, keep=track_col)
     return f"SELECT DISTINCT {track_col}, gh FROM ({tagged})"
+
+
+# ---------------------------------------------------------------------------
+# Corridor (route-buffer) join
+# ---------------------------------------------------------------------------
+
+def _corridor_candidates(segments: list[tuple], precision: int,
+                         radius_deg: float):
+    """(seg_id, cell) candidate pairs: dense segment sampling (L-inf
+    spacing <= min_dim/2) + a 2-ring neighbor expansion.
+
+    Soundness: any point within radius_deg (<= min_dim) of the segment
+    sits in a cell <= 1 ring from some cell the segment crosses, and
+    every crossed cell is <= 1 ring from a sampled cell (the chord
+    inside it passes within half a cell of a sample) — so 2 rings
+    around the sampled cells over-approximate the corridor. The refine
+    step restores exactness.
+    """
+    import numpy as np
+
+    from ..kernels.geohash import encode, lat_lng_steps, neighbors
+
+    lat_step, lng_step = lat_lng_steps(precision)
+    min_dim = min(lat_step, lng_step)
+    if radius_deg > min_dim:
+        raise ValueError(
+            f"radius_deg={radius_deg} exceeds the precision-{precision} "
+            f"min cell dimension {min_dim}; lower the precision (the "
+            f"candidate ring argument needs radius <= one cell)")
+    out = []
+    for seg_id, y1, x1, y2, x2 in segments:
+        spans = max(abs(y2 - y1) / (min_dim / 2.0),
+                    abs(x2 - x1) / (min_dim / 2.0), 1.0)
+        n = int(np.ceil(spans)) + 1
+        t = np.linspace(0.0, 1.0, n)
+        cells = set(encode(y1 + t * (y2 - y1), x1 + t * (x2 - x1),
+                           precision).tolist())
+        for _ in range(2):  # 2-ring expansion
+            arr = np.array(sorted(cells))
+            for v in neighbors(arr).values():
+                cells.update(v.tolist())
+        out += [(str(seg_id), c) for c in sorted(cells)]
+    return out
+
+
+_SEG_DIST = """CASE WHEN {l2} = 0.0D THEN
+  sqrt(({px} - {x1}) * ({px} - {x1}) + ({py} - {y1}) * ({py} - {y1}))
+ELSE sqrt(
+  ({px} - ({x1} + least(greatest((({px} - {x1}) * {dx} + ({py} - {y1})
+    * {dy}) / {l2}, 0.0D), 1.0D) * {dx}))
+  * ({px} - ({x1} + least(greatest((({px} - {x1}) * {dx} + ({py} - {y1})
+    * {dy}) / {l2}, 0.0D), 1.0D) * {dx}))
+  + ({py} - ({y1} + least(greatest((({px} - {x1}) * {dx} + ({py} - {y1})
+    * {dy}) / {l2}, 0.0D), 1.0D) * {dy}))
+  * ({py} - ({y1} + least(greatest((({px} - {x1}) * {dx} + ({py} - {y1})
+    * {dy}) / {l2}, 0.0D), 1.0D) * {dy}))) END"""
+
+
+def _seg_dist_expr(px, py, x1, y1, x2, y2, double_suffix: str) -> str:
+    """Planar point-to-segment distance, one shared IEEE tree: only
+    +,-,*,/ and sqrt/clamp — every op correctly rounded, so the double
+    is bit-identical across engines and layouts (the user_mobility
+    argument; no fp6 needed). ``double_suffix`` renders double
+    literals per dialect ('D' for Spark SQL, 'e0' for DuckDB)."""
+    dx = f"({x2} - {x1})"
+    dy = f"({y2} - {y1})"
+    l2 = f"({dx} * {dx} + {dy} * {dy})"
+    return (_SEG_DIST
+            .format(px=px, py=py, x1=x1, y1=y1, dx=dx, dy=dy, l2=l2)
+            .replace("0.0D", "0.0" + double_suffix)
+            .replace("1.0D", "1.0" + double_suffix))
+
+
+def corridor_join(points: DataFrame, segments: list[tuple],
+                  radius_deg: float, precision: int,
+                  lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Points within ``radius_deg`` (planar degree-space, the
+    user_mobility convention) of any route segment.
+
+    ``segments``: [(seg_id, lat1, lon1, lat2, lon2)] — query-side
+    small (a route). Returns the input columns + (seg_id, dist_deg),
+    one row per (point, segment) hit.
+
+    Plan: candidate cells are generated DRIVER-side per segment
+    (sample + 2-ring expansion — sound over-approximation, see
+    :func:`_corridor_candidates`) and broadcast; points take one
+    geohash tag projection and one broadcast hash join, then the exact
+    planar segment distance (a pure codegen expression — no UDF)
+    refines. The point table never shuffles; segment geometry rides
+    the broadcast rows, so the refine needs no second join.
+    """
+    from .spatial_join import tag_pages
+
+    spark = points.sparkSession
+    cand = _corridor_candidates(segments, precision, radius_deg)
+    geom = {str(s[0]): s[1:] for s in segments}
+    cov = spark.createDataFrame(
+        [(sid, cell) + tuple(float(v) for v in geom[sid])
+         for sid, cell in cand],
+        "seg_id string, gh string, y1 double, x1 double, "
+        "y2 double, x2 double")
+    tagged = tag_pages(points, precision, lat=lat, lon=lon)
+    j = tagged.join(F.broadcast(cov), on="gh")
+    dist = F.expr(_seg_dist_expr(lon, lat, "x1", "y1", "x2", "y2", "D"))
+    return (j.withColumn("dist_deg", dist)
+            .filter(F.col("dist_deg") <= F.lit(float(radius_deg)))
+            .drop("gh", "y1", "x1", "y2", "x2"))
+
+
+def corridor_join_sql(inner: str, segments: list[tuple],
+                      radius_deg: float, keep: str,
+                      lat: str = "lat", lon: str = "lon") -> str:
+    """INDEPENDENT brute-force DuckDB oracle: points CROSS JOIN the
+    segment list with the same shared-IEEE-tree distance — no cell
+    index anywhere, so the candidate generation's soundness is what
+    the value gate checks. ``keep`` lists the point columns to carry."""
+    vals = ", ".join(
+        f"('{sid}', CAST({y1!r} AS DOUBLE), CAST({x1!r} AS DOUBLE), "
+        f"CAST({y2!r} AS DOUBLE), CAST({x2!r} AS DOUBLE))"
+        for sid, y1, x1, y2, x2 in segments)
+    dist = _seg_dist_expr(f"p.{lon}", f"p.{lat}",
+                          "s.x1", "s.y1", "s.x2", "s.y2", "e0")
+    return f"""
+WITH s(seg_id, y1, x1, y2, x2) AS (VALUES {vals})
+SELECT {keep}, s.seg_id, {dist} AS dist_deg
+FROM ({inner}) p CROSS JOIN s
+WHERE {dist} <= {radius_deg!r}
+"""
