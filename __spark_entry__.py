@@ -108,6 +108,9 @@ from geohash_dotnet_spark.operators.clustering import (  # noqa: E402
     tile_density_clusters_sql,
 )
 from geohash_dotnet_spark.operators.bpe import bpe_merges_sql  # noqa: E402
+from geohash_dotnet_spark.operators.privacy import (  # noqa: E402
+    k_anonymous_tiles_sql,
+)
 from geohash_dotnet_spark.operators.tracks import corridor_join_sql  # noqa: E402
 from geohash_dotnet_spark.operators.colocation import (  # noqa: E402
     cotravel_pairs_sql,
@@ -1478,6 +1481,23 @@ def q_corridor_join(spark, sf_dir):
             .orderBy("event_id", "seg_id"))
 
 
+def q_k_anon_tiles(spark, sf_dir):
+    """K-anonymous tile release (k=8, start p3) over the events stream:
+    publish a tile only when its count reaches k, folding small cells
+    up the geohash hierarchy (residuals combine with sibling residuals,
+    never with emitted descendants); unpublishable root remainder
+    lands in one tile='*' suppression row, so sum(n) == |events|
+    exactly. One corpus exchange; the ladder shrinks geometrically."""
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+    from geohash_dotnet_spark.operators import k_anonymous_tiles
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("__eid", F.col("event_id").cast("string")))
+    ev = geocode_from_url(ev, url="__eid")
+    return (k_anonymous_tiles(ev, k=8, precision=3)
+            .orderBy("level", "tile"))
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact phrase search ("table hash") — Lucene-PhraseQuery
     semantics as a ZERO-SHUFFLE projection: the phrase is a query-side
@@ -1666,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,                  # NEW in r4
         "phrase_search": q_phrase_search,              # NEW in r4
         "corridor_join": q_corridor_join,              # NEW in r4
+        "k_anon_tiles": q_k_anon_tiles,                # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1700,7 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus the promoted r4-changed keys (quality, decontaminate,
         # ngram_jaccard, ngram_jaccard_capped, events_asof) push every
         # key from position 51 down out of the 50-key window — the
-        # live boundary sits right after cover_circles_table (position 50);
+        # live boundary sits right after cover_california (position 50);
         # count keys above to re-derive it
         # (tests/test_entry_oracle.py::test_window_boundary pins it).
         # All rotated-out keys were green in r3 AND unchanged since, so
@@ -2035,6 +2056,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + phrase_match_sql("table hash")
             + ") ORDER BY doc_id",
+        "k_anon_tiles":
+            "SELECT * FROM ("
+            + k_anonymous_tiles_sql(
+                tagged_select_sql(
+                    "(SELECT event_id, "
+                    + geocode_lat_sql("CAST(event_id AS VARCHAR)")
+                    + " AS lat, "
+                    + geocode_lon_sql("CAST(event_id AS VARCHAR)")
+                    + " AS lon FROM events)",
+                    3, keep="event_id"),
+                k=8, precision=3)
+            + ") ORDER BY level, tile",
         "corridor_join":
             "SELECT * FROM ("
             + corridor_join_sql(

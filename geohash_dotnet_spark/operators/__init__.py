@@ -57,6 +57,7 @@ from .cdc import snapshot_diff  # noqa: F401
 from .dedup import duplicate_spans, paragraph_dedup  # noqa: F401
 from .clustering import tile_density_clusters  # noqa: F401
 from .bpe import bpe_merges  # noqa: F401
+from .privacy import k_anonymous_tiles  # noqa: F401
 from .zonal import zonal_stats  # noqa: F401
 from .colocation import cotravel_pairs  # noqa: F401
 from .flows import tile_flows, user_mobility  # noqa: F401

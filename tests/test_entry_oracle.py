@@ -100,7 +100,7 @@ def test_window_boundary():
         "user_mobility", "host_pagerank", "dup_spans",
         "length_quantiles", "tile_anomaly", "dsir_weights",
         "paragraph_dedup", "rect_join", "cotravel_pairs", "bpe_merges",
-        "zonal_stats", "phrase_search", "corridor_join",
+        "zonal_stats", "phrase_search", "corridor_join", "k_anon_tiles",
     }
     missing = must_check - window
     assert not missing, f"must-check keys outside the 50-key window: {missing}"
