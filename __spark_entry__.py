@@ -111,7 +111,10 @@ from geohash_dotnet_spark.operators.bpe import bpe_merges_sql  # noqa: E402
 from geohash_dotnet_spark.operators.privacy import (  # noqa: E402
     k_anonymous_tiles_sql,
 )
-from geohash_dotnet_spark.operators.tracks import corridor_join_sql  # noqa: E402
+from geohash_dotnet_spark.operators.tracks import (  # noqa: E402
+    corridor_join_sql,
+    snap_to_route_sql,
+)
 from geohash_dotnet_spark.operators.colocation import (  # noqa: E402
     cotravel_pairs_sql,
 )
@@ -1481,6 +1484,24 @@ def q_corridor_join(spark, sf_dir):
             .orderBy("event_id", "seg_id"))
 
 
+def q_snap_route(spark, sf_dir):
+    """Map-matching lite: each event within 3 deg of the route snaps to
+    its NEAREST segment — corridor candidates + a partial-aggregable
+    min(struct(dist, seg_id)) argmin (no window/sort; ties to the
+    smallest seg_id, deterministic because the planar distances are
+    bit-identical cross-engine). Oracle is the independent brute-force
+    cross join + QUALIFY argmin."""
+    from geohash_dotnet_spark.functions.native import geocode_from_url
+    from geohash_dotnet_spark.operators import snap_to_route
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("__eid", F.col("event_id").cast("string")))
+    ev = geocode_from_url(ev, url="__eid").select("event_id", "lat", "lon")
+    return (snap_to_route(ev, CORRIDOR_SEGS, radius_deg=3.0, precision=2,
+                          id_col="event_id")
+            .orderBy("event_id"))
+
+
 def q_k_anon_tiles(spark, sf_dir):
     """K-anonymous tile release (k=8, start p3) over the events stream:
     publish a tile only when its count reaches k, folding small cells
@@ -1687,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,              # NEW in r4
         "corridor_join": q_corridor_join,              # NEW in r4
         "k_anon_tiles": q_k_anon_tiles,                # NEW in r4
+        "snap_route": q_snap_route,                    # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1721,7 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus the promoted r4-changed keys (quality, decontaminate,
         # ngram_jaccard, ngram_jaccard_capped, events_asof) push every
         # key from position 51 down out of the 50-key window — the
-        # live boundary sits right after cover_california (position 50);
+        # live boundary sits right after gh_encode_p5 (position 50);
         # count keys above to re-derive it
         # (tests/test_entry_oracle.py::test_window_boundary pins it).
         # All rotated-out keys were green in r3 AND unchanged since, so
@@ -2056,6 +2078,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + phrase_match_sql("table hash")
             + ") ORDER BY doc_id",
+        "snap_route":
+            "SELECT * FROM ("
+            + snap_to_route_sql(
+                "SELECT event_id, "
+                + geocode_lat_sql("CAST(event_id AS VARCHAR)")
+                + " AS lat, "
+                + geocode_lon_sql("CAST(event_id AS VARCHAR)")
+                + " AS lon FROM events",
+                CORRIDOR_SEGS, 3.0, id_col="event_id")
+            + ") ORDER BY event_id",
         "k_anon_tiles":
             "SELECT * FROM ("
             + k_anonymous_tiles_sql(

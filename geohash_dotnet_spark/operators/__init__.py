@@ -68,7 +68,7 @@ from .lm import bigram_ppl, collocations, dsir_weights  # noqa: F401
 from .hotspots import focal_hotspots, moran_i, tile_anomaly  # noqa: F401
 from .rollup import time_rollup  # noqa: F401
 from .sessions import sessionize  # noqa: F401
-from .tracks import corridor_join, cover_tracks  # noqa: F401
+from .tracks import corridor_join, cover_tracks, snap_to_route  # noqa: F401
 from .text import (  # noqa: F401
     group_quantiles,
     vocab_topk,

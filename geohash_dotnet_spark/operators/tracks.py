@@ -30,7 +30,8 @@ from ..functions.native import with_geohash
 from ..functions.oracle import tagged_select_sql
 from ..kernels.geohash import lat_lng_steps
 
-__all__ = ["cover_tracks", "cover_tracks_sql", "corridor_join", "corridor_join_sql"]
+__all__ = ["cover_tracks", "cover_tracks_sql", "corridor_join",
+           "corridor_join_sql", "snap_to_route", "snap_to_route_sql"]
 
 
 def _samples_expr(lat_step: float, lng_step: float, oversample: float,
@@ -231,4 +232,41 @@ WITH s(seg_id, y1, x1, y2, x2) AS (VALUES {vals})
 SELECT {keep}, s.seg_id, {dist} AS dist_deg
 FROM ({inner}) p CROSS JOIN s
 WHERE {dist} <= {radius_deg!r}
+"""
+
+
+def snap_to_route(points: DataFrame, segments: list[tuple],
+                  radius_deg: float, precision: int, id_col: str,
+                  lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Map-matching lite: snap each point to its NEAREST route segment
+    within ``radius_deg`` (points farther than the radius from every
+    segment are dropped — they're off-route).
+
+    Composition: :func:`corridor_join` provides the (point, segment,
+    dist) candidates (broadcast candidates, UDF-free refine, point
+    table never shuffled); the argmin is a partial-aggregable
+    ``min(struct(dist, seg_id))`` keyed by the point id — no window,
+    no sort, ties break to the lexicographically smallest seg_id
+    (deterministic because dist doubles are bit-identical everywhere).
+    """
+    cand = corridor_join(points, segments, radius_deg, precision,
+                         lat=lat, lon=lon)
+    best = F.min(F.struct(F.col("dist_deg"), F.col("seg_id"))).alias("b")
+    return (cand.groupBy(id_col).agg(best)
+            .select(id_col, F.col("b.seg_id").alias("seg_id"),
+                    F.col("b.dist_deg").alias("dist_deg")))
+
+
+def snap_to_route_sql(inner: str, segments: list[tuple],
+                      radius_deg: float, id_col: str,
+                      lat: str = "lat", lon: str = "lon") -> str:
+    """DuckDB oracle twin of :func:`snap_to_route`: the brute-force
+    cross join + a QUALIFY row_number argmin — an independent
+    formulation of the same nearest rule."""
+    corridor = corridor_join_sql(inner, segments, radius_deg,
+                                 keep=f"p.{id_col}", lat=lat, lon=lon)
+    return f"""
+SELECT {id_col}, seg_id, dist_deg FROM ({corridor})
+QUALIFY row_number() OVER (PARTITION BY {id_col}
+                           ORDER BY dist_deg, seg_id) = 1
 """

@@ -92,3 +92,40 @@ def test_layout_independent(spark):
                                         SEGS, 3.0, 2)
                    .select("pt_id", "seg_id", "dist_deg").collect()))
     assert a == b and len(a) > 0
+
+
+def test_snap_to_route_is_argmin(spark):
+    """snap picks the nearest segment per point; points off-route drop."""
+    from geohash_dotnet_spark.operators import snap_to_route
+
+    rows = _grid(12)
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["pt_id"]: (r["seg_id"], r["dist_deg"])
+           for r in snap_to_route(df, SEGS, 3.0, 2, "pt_id").collect()}
+    # brute-force nearest within radius
+    want = {}
+    for pid, py, px in rows:
+        best = None
+        for sid, y1, x1, y2, x2 in SEGS:
+            dx, dy = x2 - x1, y2 - y1
+            l2 = dx * dx + dy * dy
+            t = min(max(((px - x1) * dx + (py - y1) * dy) / l2, 0.0), 1.0)
+            d = ((px - (x1 + t * dx)) ** 2
+                 + (py - (y1 + t * dy)) ** 2) ** 0.5
+            if d <= 3.0 and (best is None or (d, sid) < best):
+                best = (d, sid)
+        if best is not None:
+            want[pid] = (best[1], best[0])
+    assert set(got) == set(want)
+    for pid in got:
+        assert got[pid][0] == want[pid][0]
+        assert abs(got[pid][1] - want[pid][1]) < 1e-12
+    assert len(got) > 20
+
+
+def test_snap_one_row_per_point(spark):
+    from geohash_dotnet_spark.operators import snap_to_route
+
+    df = spark.createDataFrame([(1, 45.1, 10.1)], SCHEMA)  # near s1/s2
+    out = snap_to_route(df, SEGS, 3.0, 2, "pt_id").collect()
+    assert len(out) == 1
