@@ -94,6 +94,7 @@ from geohash_dotnet_spark.operators.asof import (  # noqa: E402
     interval_join_sql,
 )
 from geohash_dotnet_spark.operators.graph import (  # noqa: E402
+    hits_sql,
     host_edges_sql,
     pagerank_sql,
 )
@@ -1484,6 +1485,22 @@ def q_corridor_join(spark, sf_dir):
             .orderBy("event_id", "seg_id"))
 
 
+def q_host_hits(spark, sf_dir):
+    """HITS hubs/authorities (3 max-normalized integer power
+    iterations) over the same deterministic site graph as
+    host_pagerank — exact BIGINT sums + floor division only, so every
+    score is bit-identical to the DuckDB unrolled-CTE replay."""
+    from geohash_dotnet_spark.operators import host_edges
+    from geohash_dotnet_spark.operators.graph import hits
+
+    sites = (_pages(spark, sf_dir)
+             .select(F.regexp_extract(
+                 "url", r"^https?://[^/]+/([^/]+)/", 1).alias("site"))
+             .distinct())
+    return (hits(host_edges(sites, node="site", key="site"), n_iter=3)
+            .orderBy("node"))
+
+
 def q_snap_route(spark, sf_dir):
     """Map-matching lite: each event within 3 deg of the route snaps to
     its NEAREST segment — corridor candidates + a partial-aggregable
@@ -1709,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corridor_join": q_corridor_join,              # NEW in r4
         "k_anon_tiles": q_k_anon_tiles,                # NEW in r4
         "snap_route": q_snap_route,                    # NEW in r4
+        "host_hits": q_host_hits,                      # NEW in r4
         "quality": q_quality,          # CHANGED in r4 (slow-path doc)
         "decontaminate": q_decontaminate,  # CHANGED in r4 (de-broadcast)
         "ngram_jaccard": q_ngram_jaccard,  # CHANGED in r4 (no distinct)
@@ -1743,7 +1761,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus the promoted r4-changed keys (quality, decontaminate,
         # ngram_jaccard, ngram_jaccard_capped, events_asof) push every
         # key from position 51 down out of the 50-key window — the
-        # live boundary sits right after gh_encode_p5 (position 50);
+        # live boundary sits right after events_asof (position 50) — the
+        # window is now EXACTLY full of must-check keys (never-checked +
+        # r4-new + r4-changed); adding another r4 key requires
+        # consolidating one of these, not rotating (the window-boundary
+        # pytest enforces it);
         # count keys above to re-derive it
         # (tests/test_entry_oracle.py::test_window_boundary pins it).
         # All rotated-out keys were green in r3 AND unchanged since, so
@@ -2146,6 +2168,16 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank":
             "SELECT * FROM ("
             + pagerank_sql(
+                host_edges_sql(
+                    "SELECT DISTINCT regexp_extract(url, "
+                    "'^https?://[^/]+/([^/]+)/', 1) AS site "
+                    f"FROM ({pages_sql(REP)})",
+                    node="site", key="site"),
+                n_iter=3)
+            + ") ORDER BY node",
+        "host_hits":
+            "SELECT * FROM ("
+            + hits_sql(
                 host_edges_sql(
                     "SELECT DISTINCT regexp_extract(url, "
                     "'^https?://[^/]+/([^/]+)/', 1) AS site "

@@ -46,7 +46,8 @@ from pyspark.sql import functions as F
 
 from .dedup import md5_60bit, md5_60bit_sql
 
-__all__ = ["pagerank", "pagerank_sql", "host_edges", "host_edges_sql"]
+__all__ = ["pagerank", "pagerank_sql", "host_edges", "host_edges_sql",
+           "hits", "hits_sql"]
 
 R0 = 1_000_000_000_000  # initial rank per node, micro-units (1e12)
 
@@ -184,3 +185,117 @@ SELECT f.src, hosts.dst FROM (
   FROM (SELECT DISTINCT {node} AS dst FROM ({pages_inner}))
 ) hosts ON f.idx = hosts.idx
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+S0 = 1_000_000  # L-inf normalized score scale (micro-units)
+
+
+def hits(edges: DataFrame, n_iter: int = 3, src: str = "src",
+         dst: str = "dst", s0: int = S0) -> DataFrame:
+    """(node, hub, auth) after ``n_iter`` HITS power iterations
+    (Kleinberg 1999) over the distinct edge set — the complement of
+    PageRank for crawl curation: authorities are the pages worth
+    fetching, hubs are the link pages worth mining for a frontier.
+
+    Integer fixed point with L-infinity normalization: each half-step
+    sums the opposite score over the edges (exact BIGINT sums,
+    addition-order free), then rescales so the maximum equals ``s0``
+    via integer floor division by the one-row broadcast max — the
+    standard max-normalized power iteration, chosen over the L2 norm
+    because sqrt would break exact cross-engine reproducibility.
+    Floors cost <1 micro-unit per node per half-step.
+
+    Scale shape mirrors pagerank: the edge list is scanned twice per
+    iteration (auth: shuffle on dst; hub: shuffle on src — map-side
+    partials first), score vectors are node-keyed and persisted per
+    round with the previous released, the max is a one-row broadcast,
+    no driver collect. Overflow bound: raw sums <= n*s0 and the
+    rescale multiplies by s0, so n*s0*s0 < 2^63 — s0=1e6 allows ~9e6
+    nodes; shrink s0 for larger graphs.
+    """
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct().persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    hub = nodes.select("node", F.lit(int(s0)).cast("long").alias("hub"))
+    auth = None
+    keep = []
+    try:
+        for _ in range(int(n_iter)):
+            araw = (e.join(hub, e["src"] == hub["node"])
+                    .groupBy("dst").agg(F.sum("hub").alias("ar")))
+            amax = araw.agg(F.greatest(
+                F.coalesce(F.max("ar"), F.lit(0).cast("long")),
+                F.lit(1).cast("long")).alias("am"))
+            auth = (nodes.join(araw, nodes["node"] == araw["dst"], "left")
+                    .crossJoin(F.broadcast(amax))
+                    .select("node", F.coalesce(
+                        F.expr(f"(ar * CAST({int(s0)} AS BIGINT)) div am"),
+                        F.lit(0).cast("long")).alias("auth")))
+            hraw = (e.join(auth, e["dst"] == auth["node"])
+                    .groupBy("src").agg(F.sum("auth").alias("hr")))
+            hmax = hraw.agg(F.greatest(
+                F.coalesce(F.max("hr"), F.lit(0).cast("long")),
+                F.lit(1).cast("long")).alias("hm"))
+            hub = (nodes.join(hraw, nodes["node"] == hraw["src"], "left")
+                   .crossJoin(F.broadcast(hmax))
+                   .select("node", F.coalesce(
+                       F.expr(f"(hr * CAST({int(s0)} AS BIGINT)) div hm"),
+                       F.lit(0).cast("long")).alias("hub")))
+            hub = hub.persist()
+            auth = auth.persist()
+            hub.count()
+            auth.count()
+            while len(keep) > 2:
+                keep.pop(0).unpersist()
+            keep += [hub, auth]
+        return (hub.join(auth, "node")
+                .select("node", "hub", "auth"))
+    finally:
+        e.unpersist()
+
+
+def hits_sql(edges_inner: str, n_iter: int = 3, s0: int = S0) -> str:
+    """DuckDB oracle twin of :func:`hits` — identical integer rule,
+    unrolled CTEs, ``//`` == Spark ``div`` on all-positive operands."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_inner}))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        f"h0 AS (SELECT node, CAST({int(s0)} AS BIGINT) AS hub FROM nodes)",
+    ]
+    for i in range(int(n_iter)):
+        parts.append(
+            f"ar{i} AS (SELECT e.dst, CAST(sum(hub) AS BIGINT) AS ar "
+            f"FROM e JOIN h{i} ON h{i}.node = e.src GROUP BY e.dst)")
+        parts.append(
+            f"am{i} AS (SELECT greatest(CAST(COALESCE(max(ar), 0) "
+            f"AS BIGINT), CAST(1 AS BIGINT)) AS am FROM ar{i})")
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT nodes.node, "
+            f"COALESCE((ar * CAST({int(s0)} AS BIGINT)) // am, "
+            f"CAST(0 AS BIGINT)) AS auth "
+            f"FROM nodes LEFT JOIN ar{i} ON nodes.node = ar{i}.dst "
+            f"CROSS JOIN am{i})")
+        parts.append(
+            f"hr{i} AS (SELECT e.src, CAST(sum(auth) AS BIGINT) AS hr "
+            f"FROM e JOIN a{i + 1} ON a{i + 1}.node = e.dst "
+            f"GROUP BY e.src)")
+        parts.append(
+            f"hm{i} AS (SELECT greatest(CAST(COALESCE(max(hr), 0) "
+            f"AS BIGINT), CAST(1 AS BIGINT)) AS hm FROM hr{i})")
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT nodes.node, "
+            f"COALESCE((hr * CAST({int(s0)} AS BIGINT)) // hm, "
+            f"CAST(0 AS BIGINT)) AS hub "
+            f"FROM nodes LEFT JOIN hr{i} ON nodes.node = hr{i}.src "
+            f"CROSS JOIN hm{i})")
+    n = int(n_iter)
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT h{n}.node, hub, auth FROM h{n} "
+            f"JOIN a{n} ON a{n}.node = h{n}.node")

@@ -101,7 +101,7 @@ def test_window_boundary():
         "length_quantiles", "tile_anomaly", "dsir_weights",
         "paragraph_dedup", "rect_join", "cotravel_pairs", "bpe_merges",
         "zonal_stats", "phrase_search", "corridor_join", "k_anon_tiles",
-        "snap_route",
+        "snap_route", "host_hits",
     }
     missing = must_check - window
     assert not missing, f"must-check keys outside the 50-key window: {missing}"

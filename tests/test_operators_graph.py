@@ -106,3 +106,58 @@ def test_host_edges_fanout_bound(spark, sf_small, fanout):
     n_pages = pg.count()
     e = host_edges(pg, node="site", fanout=fanout)
     assert e.count() <= n_pages * fanout
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+def _hits_map(spark, edges, n_iter):
+    from geohash_dotnet_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: (r["hub"], r["auth"])
+            for r in hits(df, n_iter=n_iter).collect()}
+
+
+def test_hits_hand_iterations(spark):
+    """1->3, 2->3, 3->4 replayed by hand for two max-normalized integer
+    iterations: 3 is the sole full authority, 1/2 the full hubs."""
+    out = _hits_map(spark, [("1", "3"), ("2", "3"), ("3", "4")], 2)
+    assert out == {"1": (1000000, 0), "2": (1000000, 0),
+                   "3": (250000, 1000000), "4": (0, 250000)}
+
+
+def test_hits_star(spark):
+    """Star: hub center pointing at k leaves — center is the unit hub,
+    every leaf an equal unit authority, stable across iterations."""
+    edges = [("c", f"l{i}") for i in range(5)]
+    for it in (1, 3):
+        out = _hits_map(spark, edges, it)
+        assert out["c"] == (1000000, 0)
+        assert all(out[f"l{i}"] == (0, 1000000) for i in range(5))
+
+
+def test_hits_duplicate_edges_collapse(spark):
+    a = _hits_map(spark, [("1", "3"), ("1", "3"), ("2", "3")], 2)
+    b = _hits_map(spark, [("1", "3"), ("2", "3")], 2)
+    assert a == b
+
+
+def test_hits_normalization_invariant(spark):
+    """Max hub == max auth == s0 whenever the graph has any edge."""
+    edges = [(f"s{i % 4}", f"d{(i * 7) % 6}") for i in range(18)]
+    out = _hits_map(spark, edges, 3)
+    assert max(h for h, _ in out.values()) == 1000000
+    assert max(a for _, a in out.values()) == 1000000
+
+
+def test_hits_layout_independent(spark):
+    from geohash_dotnet_spark.operators.graph import hits
+
+    edges = [(f"s{i % 5}", f"d{(i * 3) % 7}") for i in range(25)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, hits(df, n_iter=2).collect()))
+    b = sorted(map(tuple, hits(df.repartition(5, "dst"),
+                               n_iter=2).collect()))
+    assert a == b
