@@ -222,9 +222,9 @@ def hits(edges: DataFrame, n_iter: int = 3, src: str = "src",
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct())
+    nodes = nodes.localCheckpoint(eager=True)
     hub = nodes.select("node", F.lit(int(s0)).cast("long").alias("hub"))
     auth = None
-    keep = []
     try:
         for _ in range(int(n_iter)):
             araw = (e.join(hub, e["src"] == hub["node"])
@@ -237,6 +237,14 @@ def hits(edges: DataFrame, n_iter: int = 3, src: str = "src",
                     .select("node", F.coalesce(
                         F.expr(f"(ar * CAST({int(s0)} AS BIGINT)) div am"),
                         F.lit(0).cast("long")).alias("auth")))
+            # localCheckpoint (eager) rather than persist: the two joins
+            # + two broadcast-aggregate subtrees per half-step embed the
+            # previous vector's LOGICAL plan several times over, so with
+            # persist alone the analyzed tree grows exponentially in
+            # n_iter and planning itself OOMs the driver on a 20-node
+            # graph. Checkpointing truncates lineage to the stored
+            # vector — same per-round materialization cost, O(1) plan.
+            auth = auth.localCheckpoint(eager=True)
             hraw = (e.join(auth, e["dst"] == auth["node"])
                     .groupBy("src").agg(F.sum("auth").alias("hr")))
             hmax = hraw.agg(F.greatest(
@@ -247,13 +255,7 @@ def hits(edges: DataFrame, n_iter: int = 3, src: str = "src",
                    .select("node", F.coalesce(
                        F.expr(f"(hr * CAST({int(s0)} AS BIGINT)) div hm"),
                        F.lit(0).cast("long")).alias("hub")))
-            hub = hub.persist()
-            auth = auth.persist()
-            hub.count()
-            auth.count()
-            while len(keep) > 2:
-                keep.pop(0).unpersist()
-            keep += [hub, auth]
+            hub = hub.localCheckpoint(eager=True)
         return (hub.join(auth, "node")
                 .select("node", "hub", "auth"))
     finally:
