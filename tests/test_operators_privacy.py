@@ -80,3 +80,15 @@ def test_param_validation(spark):
         k_anonymous_tiles(df, k=0, precision=3)
     with pytest.raises(ValueError):
         k_anonymous_tiles(df, k=5, precision=13)
+
+
+def test_plan_no_window_no_sort(spark):
+    """The ladder is pure filter+agg: no Window, no Sort, no cartesian —
+    the corpus is touched by partial-agged hash aggregation only."""
+    df = spark.createDataFrame([(1, 10.0, 10.0)], SCHEMA)
+    plan = k_anonymous_tiles(df, k=3, precision=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side partials on the corpus agg
