@@ -186,7 +186,11 @@ def corridor_join(points: DataFrame, segments: list[tuple],
 
     ``segments``: [(seg_id, lat1, lon1, lat2, lon2)] — query-side
     small (a route). Returns the input columns + (seg_id, dist_deg),
-    one row per (point, segment) hit.
+    one row per (point, segment) hit. Planar semantics are consistent
+    end-to-end (candidates, refine, and the brute-force oracle all
+    non-wrapping): a route crossing the antimeridian must be split
+    into two segments at ±180 by the caller, the same contract
+    split_antimeridian serves for polygons.
 
     Plan: candidate cells are generated DRIVER-side per segment
     (sample + 2-ring expansion — sound over-approximation, see
