@@ -2143,7 +2143,10 @@ def oracle_sql() -> dict[str, str]:
                 + geocode_lon_sql("CAST(event_id AS VARCHAR)")
                 + f" AS lon FROM events) "
                 f"WHERE lat > {s} AND lat < {n} "
-                f"AND lon > {w} AND lon < {e}"
+                f"AND lon > {w} AND lon < {e} "
+                # HAVING mirrors the operator's "empty zones emit no
+                # row" contract (a bare global count would emit 0/NULL)
+                f"HAVING count(*) > 0"
                 for z, (s, w, n, e) in ZONAL_ZONES)
             + " ORDER BY zone_id",
         "snapshot_diff":

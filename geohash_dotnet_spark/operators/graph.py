@@ -217,6 +217,8 @@ def hits(edges: DataFrame, n_iter: int = 3, src: str = "src",
     rescale multiplies by s0, so n*s0*s0 < 2^63 — s0=1e6 allows ~9e6
     nodes; shrink s0 for larger graphs.
     """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
     e = edges.select(F.col(src).alias("src"),
                      F.col(dst).alias("dst")).distinct().persist()
     nodes = (e.select(F.col("src").alias("node"))
@@ -265,6 +267,8 @@ def hits(edges: DataFrame, n_iter: int = 3, src: str = "src",
 def hits_sql(edges_inner: str, n_iter: int = 3, s0: int = S0) -> str:
     """DuckDB oracle twin of :func:`hits` — identical integer rule,
     unrolled CTEs, ``//`` == Spark ``div`` on all-positive operands."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
     parts = [
         f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_inner}))",
         "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "

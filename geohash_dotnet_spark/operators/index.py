@@ -274,12 +274,10 @@ def phrase_match(df: DataFrame, phrase: str, id_col: str = "doc_id",
     Position arithmetic is identical 1-based element_at in both
     engines.
     """
-    terms = [t for t in phrase.strip().lower().split() if t]
-    if not terms:
-        raise ValueError("phrase must contain at least one token")
+    terms = _phrase_terms(phrase)
     m = len(terms)
     cond = " AND ".join(
-        f"element_at(toks, CAST(i + {k} AS INT)) = '{t}'"
+        f"element_at(toks, CAST(i + {k} AS INT)) = '{_esc_spark(t)}'"
         for k, t in enumerate(terms))
     positions = (f"CASE WHEN size(toks) < {m} THEN array() "
                  f"ELSE filter(sequence(1, size(toks) - {m} + 1), "
@@ -293,15 +291,34 @@ def phrase_match(df: DataFrame, phrase: str, id_col: str = "doc_id",
     return out
 
 
-def phrase_match_sql(phrase: str, inner: str = "documents",
-                     id_col: str = "doc_id", text: str = "text") -> str:
-    """DuckDB oracle twin of :func:`phrase_match`."""
+def _phrase_terms(phrase: str) -> list[str]:
     terms = [t for t in phrase.strip().lower().split() if t]
     if not terms:
         raise ValueError("phrase must contain at least one token")
+    return terms
+
+
+def _esc_spark(tok: str) -> str:
+    """Escape a token for a Spark SQL single-quoted literal (backslash
+    escaping) — corpus tokens are arbitrary text (apostrophes,
+    backslashes), and an unescaped quote would corrupt the generated
+    expression."""
+    return tok.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _esc_duck(tok: str) -> str:
+    """Escape a token for a DuckDB single-quoted literal (doubled
+    quote; backslash is literal in standard strings)."""
+    return tok.replace("'", "''")
+
+
+def phrase_match_sql(phrase: str, inner: str = "documents",
+                     id_col: str = "doc_id", text: str = "text") -> str:
+    """DuckDB oracle twin of :func:`phrase_match`."""
+    terms = _phrase_terms(phrase)
     m = len(terms)
     toks = _TOKS_SQL.format(text=text)
-    cond = " AND ".join(f"toks[i + {k}] = '{t}'"
+    cond = " AND ".join(f"toks[i + {k}] = '{_esc_duck(t)}'"
                         for k, t in enumerate(terms))
     return f"""
 WITH t AS (SELECT {id_col}, {toks} AS toks FROM {inner}),

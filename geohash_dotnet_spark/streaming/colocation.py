@@ -19,9 +19,17 @@ exactly (parity-tested). Late events beyond the watermark are dropped —
 the standard trade, identical to every watermarked operator in
 streaming/.
 
-State bound: live windows x occupied tiles x (<= max_cell_users + 1)
-user ids — the cap bounds the per-cell state the same way it bounds
-the batch join fan-out.
+State bound, stated honestly: the per-cell state is the DISTINCT
+occupant set, bounded by actual occupancy — NOT by the cap.
+``collect_set`` cannot stop accumulating mid-aggregation, so a
+stadium cell with 10^5 distinct users holds a 10^5-id set until its
+watermark closes; the cap bounds EMISSIONS (the quadratic pair
+fan-out never happens for over-cap cells) but not the set itself.
+Where adversarial crowd cells are a real risk, coarsen less (higher
+precision = smaller cells), shorten the bucket, or pre-filter known
+venue tiles upstream; the batch operator (whose guard drops crowd
+cells BEFORE any per-cell materialization) remains the backfill
+path.
 """
 
 from __future__ import annotations

@@ -161,3 +161,15 @@ def test_hits_layout_independent(spark):
     b = sorted(map(tuple, hits(df.repartition(5, "dst"),
                                n_iter=2).collect()))
     assert a == b
+
+
+def test_hits_validates_n_iter(spark):
+    import pytest
+
+    from geohash_dotnet_spark.operators.graph import hits, hits_sql
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        hits(df, n_iter=0)
+    with pytest.raises(ValueError):
+        hits_sql("edges", n_iter=0)

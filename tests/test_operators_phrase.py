@@ -59,3 +59,14 @@ def test_empty_phrase_rejected(spark):
     df = spark.createDataFrame([(1, "a")], SCHEMA)
     with pytest.raises(ValueError):
         phrase_match(df, "   ")
+
+
+def test_quote_bearing_phrase(spark):
+    """Tokens with apostrophes/backslashes must be escaped, not crash
+    or corrupt the generated expression (SQL-literal injection)."""
+    out = _hits(spark, ["o'reilly books here", "no match"], "o'reilly books")
+    assert out == {0: (1, 1)}
+    # the DuckDB twin escapes too (doubled quote)
+    from geohash_dotnet_spark.operators.index import phrase_match_sql
+    sql = phrase_match_sql("o'reilly books")
+    assert "o''reilly" in sql
