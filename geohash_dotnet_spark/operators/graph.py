@@ -215,7 +215,9 @@ def hits(edges: DataFrame, n_iter: int = 3, src: str = "src",
     round with the previous released, the max is a one-row broadcast,
     no driver collect. Overflow bound: raw sums <= n*s0 and the
     rescale multiplies by s0, so n*s0*s0 < 2^63 — s0=1e6 allows ~9e6
-    nodes; shrink s0 for larger graphs.
+    nodes; shrink s0 for larger graphs (enforced: raises ValueError
+    when the materialized node count breaks the bound, rather than
+    letting the non-ANSI multiply wrap into garbage scores).
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
@@ -225,6 +227,13 @@ def hits(edges: DataFrame, n_iter: int = 3, src: str = "src",
              .union(e.select(F.col("dst").alias("node")))
              .distinct())
     nodes = nodes.localCheckpoint(eager=True)
+    n_nodes = nodes.count()  # free: already materialized above
+    if n_nodes > 0 and n_nodes * int(s0) * int(s0) >= 2 ** 63:
+        e.unpersist()
+        raise ValueError(
+            f"hits overflow bound violated: {n_nodes} nodes * s0^2 "
+            f"({int(s0)}^2) >= 2^63; pass a smaller s0 "
+            f"(max safe s0 ~ {int((2 ** 63 / n_nodes) ** 0.5)})")
     hub = nodes.select("node", F.lit(int(s0)).cast("long").alias("hub"))
     auth = None
     try:

@@ -155,7 +155,10 @@ def rect_overlap_join(rects_df: DataFrame, cell_deg: float = 1.0,
     crossing boxes must be pre-split by the caller (kernels.polygon
     SplitAntimeridian semantics).
     """
+    import math
     cell = float(cell_deg)
+    if not math.isfinite(cell) or cell <= 0.0:
+        raise ValueError(f"cell_deg must be finite and > 0, got {cell_deg!r}")
     exploded = (rects_df
                 .withColumn("xi", F.explode(F.sequence(
                     F.floor(F.col("min_lon") / cell),

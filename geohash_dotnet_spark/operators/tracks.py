@@ -205,6 +205,10 @@ def corridor_join(points: DataFrame, segments: list[tuple],
     spark = points.sparkSession
     cand = _corridor_candidates(segments, precision, radius_deg)
     geom = {str(s[0]): s[1:] for s in segments}
+    if len(geom) != len(segments):
+        raise ValueError("duplicate seg_id in segments: ids must be "
+                         "unique, or points would refine against the "
+                         "wrong segment geometry")
     cov = spark.createDataFrame(
         [(sid, cell) + tuple(float(v) for v in geom[sid])
          for sid, cell in cand],

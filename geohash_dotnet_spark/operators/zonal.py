@@ -15,8 +15,10 @@ expressed Spark-first with the interior/boundary covering split:
   overlapping zones joins once per zone (correct multi-zone
   membership).
 * Only boundary-cell rows pay geometry: a single vectorized pandas
-  UDF dispatches on zone_id against the per-executor-parsed polygon
-  dict — interior rows short-circuit on the ``is_edge`` flag. At a
+  UDF dispatches on zone_id against the polygon dict (parsed ONCE on
+  the driver and shipped to executors inside the UDF closure — zones
+  are query-side small, so the pickled geometry is broadcast-sized) —
+  interior rows short-circuit on the ``is_edge`` flag. At a
   sane precision the boundary band is the O(perimeter/area) sliver of
   the data, so the exact test touches a vanishing fraction of points
   while the result stays EXACT polygon membership (the covering
@@ -52,7 +54,8 @@ _Q = 1_000_000  # value micro-units
 
 def _zone_member(zones: list[tuple[str, str]]):
     """Vectorized membership test: edge rows get the exact even-odd
-    point-in-polygon against the per-executor-parsed polygon dict;
+    point-in-polygon against the driver-parsed polygon dict carried
+    in the UDF closure;
     interior rows pass on the flag WITHOUT touching geometry (the
     is_edge mask gates the NumPy work inside the batch, so the exact
     test provably runs only on the boundary-band sliver)."""

@@ -129,3 +129,13 @@ def test_snap_one_row_per_point(spark):
     df = spark.createDataFrame([(1, 45.1, 10.1)], SCHEMA)  # near s1/s2
     out = snap_to_route(df, SEGS, 3.0, 2, "pt_id").collect()
     assert len(out) == 1
+
+
+def test_duplicate_seg_id_rejected(spark):
+    """Duplicate seg_ids would silently refine every candidate against
+    the LAST segment's geometry — reject up front (ADVICE r4)."""
+    df = spark.createDataFrame([(1, 45.0, 10.0)], SCHEMA)
+    segs = [("s1", 45.0, 9.0, 45.0, 11.0),
+            ("s1", 0.0, 0.0, 1.0, 1.0)]
+    with pytest.raises(ValueError, match="duplicate seg_id"):
+        corridor_join(df, segs, radius_deg=1.0, precision=2)

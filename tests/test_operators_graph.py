@@ -173,3 +173,19 @@ def test_hits_validates_n_iter(spark):
         hits(df, n_iter=0)
     with pytest.raises(ValueError):
         hits_sql("edges", n_iter=0)
+
+
+def test_hits_enforces_overflow_bound(spark):
+    """A too-large s0 for the node count raises instead of silently
+    wrapping the rescale multiply (ADVICE r4)."""
+    import pytest
+
+    from geohash_dotnet_spark.operators.graph import hits
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    # 3 nodes * s0^2 >= 2^63  =>  s0 >= sqrt(2^63/3) ~ 1.75e9
+    with pytest.raises(ValueError, match="overflow bound"):
+        hits(df, n_iter=1, s0=2 * 10 ** 9)
+    # and the default s0 still works on the same graph
+    assert hits(df, n_iter=1).count() == 3

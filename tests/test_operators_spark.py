@@ -966,3 +966,16 @@ def test_rect_overlap_join_layout_independent(spark):
     b = sorted(map(tuple,
                    rect_overlap_join(df.repartition(13), 2.0).collect()))
     assert a == b
+
+
+def test_rect_overlap_join_validates_cell_deg(spark):
+    """cell_deg <= 0 or non-finite would divide into inf/NaN inside
+    F.sequence (confusing runtime error) or explode the grid — reject
+    up front (ADVICE r4)."""
+    import pytest
+
+    from geohash_dotnet_spark.operators import rect_overlap_join
+    df, _ = _rects_df(spark, n=4)
+    for bad in (0.0, -1.0, float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="cell_deg"):
+            rect_overlap_join(df, cell_deg=bad)
