@@ -18,7 +18,7 @@ from .spatial_join import (  # noqa: F401
 )
 from .grid import cells_to_wkt, gh_grid, pick_grid_precision  # noqa: F401
 from .sketches import approx_tile_stats  # noqa: F401
-from .knn import knn_join, nearest_assign  # noqa: F401
+from .knn import knn_join, nearest_assign, nearest_sites  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components,
     duplicate_groups,
@@ -60,11 +60,21 @@ from .bpe import bpe_merges  # noqa: F401
 from .privacy import k_anonymous_tiles  # noqa: F401
 from .zonal import zonal_stats  # noqa: F401
 from .colocation import cotravel_pairs  # noqa: F401
-from .flows import tile_flows, user_mobility  # noqa: F401
+from .flows import (  # noqa: F401
+    stay_points,
+    tile_flows,
+    trip_stats,
+    user_mobility,
+)
 from .graph import host_edges, pagerank  # noqa: F401
 from .index import bm25_topk, build_postings, phrase_match  # noqa: F401
 from .kmeans import kmeans_assign, kmeans_fit  # noqa: F401
-from .lm import bigram_ppl, collocations, dsir_weights  # noqa: F401
+from .lm import (  # noqa: F401
+    bigram_ppl,
+    collocations,
+    dsir_weights,
+    hashed_linear_score,
+)
 from .hotspots import focal_hotspots, moran_i, tile_anomaly  # noqa: F401
 from .rollup import time_rollup  # noqa: F401
 from .sessions import sessionize  # noqa: F401

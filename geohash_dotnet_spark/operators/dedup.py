@@ -327,6 +327,95 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def minhash_lsh_pairs_cross(df_new: DataFrame, df_old: DataFrame,
+                            id_col: str = "doc_id", text: str = "text",
+                            n: int = 3, num_hashes: int = 128,
+                            bands: int = 32, threshold: float = 0.5,
+                            persist_shingles: bool = True) -> DataFrame:
+    """Incremental (cross-snapshot) MinHash near-dedup: band-join the
+    NEW snapshot's documents against the OLD corpus — the "dedup this
+    crawl against everything already ingested" pipeline stage, where a
+    self-join over old+new would redundantly re-pair the old corpus
+    with itself every ingest.
+
+    Same kernel chain as :func:`minhash_lsh_pairs` (JVM xxhash64
+    shingles, NumPy reduceat signatures, banded bucket join, exact
+    candidate-restricted Jaccard verify), but the band join is
+    new x old instead of a self-join: candidate volume scales with the
+    INCREMENT, not the corpus, and the old side's signatures/bands are
+    exactly what an ingest pipeline would persist as its dedup index.
+    Returns (id_new, id_old, jaccard) pairs at/above ``threshold``.
+    The same marginal-recall caveat as the self-join form applies at
+    thresholds near 0.5 (see minhash_lsh_pairs); the driver oracle is
+    the exact relational cross-corpus Jaccard, so equality asserts
+    100% LSH recall on the corpus under test."""
+    rows_per_band = num_hashes // bands
+
+    def prep(df):
+        sh = df.select(F.col(id_col).alias("id"),
+                       _shingles(F.col(text), n).alias("sh"))
+        if persist_shingles:
+            sh = _persist(sh)
+        sigs = sh.select(
+            "id", _minhash_sig_udf(num_hashes)(
+                F.transform("sh", lambda s: F.xxhash64(s))).alias("sig"))
+        banded = sigs.select(
+            "id",
+            F.posexplode(F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> hash(slice(sig, b * {rows_per_band} + 1, "
+                f"{rows_per_band})))")).alias("band", "band_hash"))
+        return sh, banded
+
+    sh_new, band_new = prep(df_new)
+    sh_old, band_old = prep(df_old)
+    cand = (band_new.alias("a")
+            .join(band_old.alias("b"), on=["band", "band_hash"])
+            .select(F.col("a.id").alias("id_new"),
+                    F.col("b.id").alias("id_old"))
+            .distinct())
+    a = sh_new.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a"))
+    b = sh_old.select(F.col("id").alias("id_old"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (cand.join(a, on="id_new").join(b, on="id_old")
+            .withColumn("jaccard", fp6((inter / union).cast("double")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_new", "id_old", "jaccard"))
+
+
+def minhash_cross_sql(new_inner: str, old_inner: str,
+                      id_col: str = "doc_id", text: str = "text",
+                      n: int = 3, threshold: float = 0.5) -> str:
+    """Driver oracle for minhash_lsh_pairs_cross: exact relational
+    cross-corpus Jaccard at the same threshold (checks the LSH recall
+    claim rather than re-deriving the banding)."""
+    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
+    shingle = (f"list_distinct(list_transform("
+               f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+               f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))")
+    return f"""
+WITH sha AS (
+  SELECT DISTINCT {id_col} AS id, unnest({shingle}) AS shingle
+  FROM ({new_inner})
+), shb AS (
+  SELECT DISTINCT {id_col} AS id, unnest({shingle}) AS shingle
+  FROM ({old_inner})
+), sza AS (SELECT id, count(*) AS n_sh FROM sha GROUP BY id),
+szb AS (SELECT id, count(*) AS n_sh FROM shb GROUP BY id),
+inter AS (
+  SELECT a.id AS id_new, b.id AS id_old, count(*) AS inter
+  FROM sha a JOIN shb b USING (shingle) GROUP BY a.id, b.id
+)
+SELECT id_new, id_old,
+       floor(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter JOIN sza sa ON sa.id = id_new JOIN szb sb ON sb.id = id_old
+WHERE floor(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
+            * 1000000.0 + 0.5) / 1000000.0 >= {threshold}
+"""
+
+
 def minhash_lsh_sql(inner: str = "documents", id_col: str = "doc_id",
                     text: str = "text", n: int = 3,
                     threshold: float = 0.5) -> str:

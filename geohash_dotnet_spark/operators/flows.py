@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 from ..functions.native import with_geohash
 from ..functions.oracle import tagged_select_sql
 
-__all__ = ["tile_flows", "tile_flows_sql", "user_mobility", "user_mobility_sql"]
+__all__ = ["tile_flows", "tile_flows_sql", "user_mobility",
+           "user_mobility_sql", "stay_points", "stay_points_sql",
+           "trip_stats", "trip_stats_sql"]
 
 
 def tile_flows(df: DataFrame, user: str = "user_id", ts: str = "ts",
@@ -136,4 +138,184 @@ SELECT {user}, n_events,
              * (CAST(so AS DOUBLE) / CAST(n_events * {_Q} AS DOUBLE)))),
          0.0e0)) AS rog_deg
 FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stay-point detection: maximal same-cell dwell runs per user
+# ---------------------------------------------------------------------------
+
+def stay_points(df: DataFrame, user: str = "user_id", ts: str = "ts",
+                lat: str = "lat", lon: str = "lon", precision: int = 3,
+                min_dwell_s: int = 0, min_points: int = 2,
+                tiebreak: str | None = None) -> DataFrame:
+    """Stay points: maximal runs of consecutive events (per user, time
+    order) inside the SAME geohash cell, kept when the run spans
+    ``min_dwell_s`` seconds and ``min_points`` events — the
+    dwell/visit primitive of mobility analytics (home/work detection,
+    POI visits), with the cell index standing in for the classic
+    anchor-radius test so the whole operator is relational.
+
+    Shape: ONE user-keyed exchange feeds both window passes (lag
+    cell-change flag, then running sum -> run id over the SAME window
+    spec, so Spark reuses one sort), then a (user, run) aggregation
+    whose map-side partials collapse each run to one row.  All outputs
+    are integers/timestamps — bit-identical cross-engine.  ``tiebreak``
+    orders same-timestamp events deterministically (pass the event id
+    whenever timestamps can collide)."""
+    g = with_geohash(df, lat, lon, precision)
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(user).orderBy(*order)
+    chg = F.when(F.lag("gh").over(w).isNull()
+                 | (F.lag("gh").over(w) != F.col("gh")), 1).otherwise(0)
+    run = F.sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = g.withColumn("__run", run)
+    out = (runs.groupBy(user, F.col("__run").alias("run_idx"), "gh")
+           .agg(F.count(F.lit(1)).alias("n_points"),
+                F.min(ts).alias("enter_ts"), F.max(ts).alias("exit_ts")))
+    # micros, not seconds: Spark's unix_timestamp truncates fractional
+    # seconds while DuckDB's epoch() keeps them — unix_micros/epoch_us
+    # are the portable pair (same discipline as sessions/colocation)
+    dwell = (F.unix_micros(F.col("exit_ts").cast("timestamp"))
+             - F.unix_micros(F.col("enter_ts").cast("timestamp"))
+             ).alias("dwell_us")
+    return (out.select(user, F.col("gh").alias("cell"), "enter_ts",
+                       "exit_ts", "n_points", dwell)
+            .filter((F.col("dwell_us") >= int(min_dwell_s) * 1_000_000)
+                    & (F.col("n_points") >= min_points)))
+
+
+def stay_points_sql(inner: str, user: str = "user_id", ts: str = "ts",
+                    precision: int = 3, min_dwell_s: int = 0,
+                    min_points: int = 2,
+                    tiebreak: str | None = None) -> str:
+    """DuckDB oracle twin of :func:`stay_points`. ``inner`` must expose
+    ``lat``/``lon`` plus the user/ts(/tiebreak) columns."""
+    keep = f"{user}, {ts}" + (f", {tiebreak}" if tiebreak else "")
+    tagged = tagged_select_sql(inner, precision, keep=keep)
+    order = f"{ts}" + (f", {tiebreak}" if tiebreak else "")
+    tb = f", {tiebreak}" if tiebreak else ""
+    return f"""
+WITH t AS ({tagged}), c AS (
+  SELECT {user}, {ts}{tb}, gh,
+         CASE WHEN lag(gh) OVER w IS NULL OR lag(gh) OVER w <> gh
+              THEN 1 ELSE 0 END AS chg
+  FROM t WINDOW w AS (PARTITION BY {user} ORDER BY {order})
+), r AS (
+  SELECT {user}, {ts}, gh,
+         sum(chg) OVER (PARTITION BY {user} ORDER BY {order}
+                        ROWS UNBOUNDED PRECEDING) AS run_idx
+  FROM c
+)
+SELECT {user}, gh AS cell, min({ts}) AS enter_ts, max({ts}) AS exit_ts,
+       count(*) AS n_points,
+       epoch_us(max({ts})) - epoch_us(min({ts})) AS dwell_us
+FROM r GROUP BY {user}, run_idx, gh
+HAVING epoch_us(max({ts})) - epoch_us(min({ts})) >= {int(min_dwell_s) * 1_000_000}
+   AND count(*) >= {min_points}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trip segmentation: gap-split journeys with exact path length
+# ---------------------------------------------------------------------------
+
+_MM = 1000  # millimeter leg quantum for exact path-length sums
+# (1e-6 m quanta put the floor boundary within the ~1e-9 relative libm
+# trig wobble for 1e7-m legs — one flipped unit observed at sf0.01;
+# millimeter quanta leave ~3 orders of margin while the per-leg
+# rounding stays far below any physical meaning of a great-circle leg)
+
+
+def trip_stats(df: DataFrame, user: str = "user_id", ts: str = "ts",
+               lat: str = "lat", lon: str = "lon", gap_s: int = 7200,
+               min_points: int = 2,
+               tiebreak: str | None = None) -> DataFrame:
+    """Trip segmentation: split each user's time-ordered event stream
+    into trips at gaps > ``gap_s`` seconds, then per trip report point
+    count, start/end timestamps, duration, and great-circle path length
+    (sum of consecutive-leg haversines).
+
+    Exactness discipline: each leg distance is quantized to integer
+    millimeters BEFORE the per-trip sum (doubles summed in task order
+    are layout-dependent; BIGINT sums are not), so path lengths are
+    bit-identical on any cluster size and in the DuckDB twin — the same
+    fixed-point trick as the windowed tile sums. The quantum is 1e-3 m,
+    not 1e-6: the finer grid sits inside the cross-engine libm trig
+    wobble of long legs and flips floor units.  Shape: one user-keyed
+    exchange shared by the lag and running-sum windows, then a
+    (user, trip) aggregation with map-side partials."""
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(user).orderBy(*order)
+    # micros, not seconds (portable vs DuckDB epoch_us — see stay_points)
+    ep = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev_ep = F.lag(ep).over(w)
+    new_trip = F.when(
+        prev_ep.isNull() | ((ep - prev_ep) > int(gap_s) * 1_000_000),
+        1).otherwise(0)
+    from ..functions.native import haversine_m
+    leg = haversine_m(F.lag(lat).over(w), F.lag(lon).over(w),
+                      F.col(lat), F.col(lon))
+    leg_um = F.when(new_trip == 1, F.lit(0)).otherwise(
+        F.floor(leg * F.lit(float(_MM)) + F.lit(0.5))).cast("long")
+    seg = (df.withColumn("__new", new_trip)
+           .withColumn("__leg_um", leg_um)
+           .withColumn("__trip", F.sum("__new").over(
+               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    out = (seg.groupBy(user, F.col("__trip").alias("trip_idx"))
+           .agg(F.count(F.lit(1)).alias("n_points"),
+                F.min(ts).alias("start_ts"), F.max(ts).alias("end_ts"),
+                F.sum("__leg_um").alias("__um")))
+    dur = (F.unix_micros(F.col("end_ts").cast("timestamp"))
+           - F.unix_micros(F.col("start_ts").cast("timestamp")))
+    return (out.select(
+        user, "trip_idx", "n_points", "start_ts", "end_ts",
+        dur.alias("duration_us"),
+        (F.col("__um").cast("double") / F.lit(float(_MM))).alias("dist_m"))
+        .filter(F.col("n_points") >= min_points))
+
+
+def trip_stats_sql(inner: str, user: str = "user_id", ts: str = "ts",
+                   gap_s: int = 7200, min_points: int = 2,
+                   tiebreak: str | None = None) -> str:
+    """DuckDB oracle twin of :func:`trip_stats` (haversine twin
+    expression is bit-exact with the Spark native trig chain)."""
+    from ..functions.oracle import haversine_sql
+    order = f"{ts}" + (f", {tiebreak}" if tiebreak else "")
+    tb = f", {tiebreak}" if tiebreak else ""
+    hv = haversine_sql("plat", "plon", "lat", "lon")
+    return f"""
+WITH l AS (
+  SELECT {user}, {ts}{tb}, lat, lon,
+         lag({ts}) OVER w AS pts,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM {inner} WINDOW w AS (PARTITION BY {user} ORDER BY {order})
+), s AS (
+  SELECT {user}, {ts}{tb},
+         CASE WHEN pts IS NULL
+                   OR epoch_us({ts}) - epoch_us(pts) > {int(gap_s) * 1_000_000}
+              THEN 1 ELSE 0 END AS new_trip,
+         CASE WHEN pts IS NULL
+                   OR epoch_us({ts}) - epoch_us(pts) > {int(gap_s) * 1_000_000}
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor({hv} * {_MM}.0 + 0.5) AS BIGINT)
+         END AS leg_um
+  FROM l
+), r AS (
+  SELECT {user}, {ts}, leg_um,
+         sum(new_trip) OVER (PARTITION BY {user} ORDER BY {order}
+                             ROWS UNBOUNDED PRECEDING) AS trip_idx
+  FROM s
+)
+SELECT {user}, trip_idx, count(*) AS n_points,
+       min({ts}) AS start_ts, max({ts}) AS end_ts,
+       epoch_us(max({ts})) - epoch_us(min({ts})) AS duration_us,
+       CAST(sum(leg_um) AS DOUBLE) / {_MM}.0 AS dist_m
+FROM r GROUP BY {user}, trip_idx
+HAVING count(*) >= {min_points}
 """

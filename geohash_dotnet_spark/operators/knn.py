@@ -162,3 +162,45 @@ def nearest_assign(df: DataFrame, sites: list[tuple[str, float, float]],
     from .text import fp6
     return (df.withColumn(out_site, best["s"])
             .withColumn(out_dist, fp6(best["d"])))
+
+
+def nearest_sites(df: DataFrame, sites: list[tuple[str, float, float]],
+                  k: int, lat: str = "lat", lon: str = "lon",
+                  out_rank: str = "rank", out_site: str = "site",
+                  out_dist: str = "dist_m") -> DataFrame:
+    """k-NN join against a constant site table: for every row, the k
+    nearest of the K ``sites`` (name, lat, lon), ranked by great-circle
+    distance with ties broken by site name.
+
+    The top-k generalization of :func:`nearest_assign`: the K sites are
+    query-time constants, so the whole ranking is a SHUFFLE-FREE
+    projection — build the array of (distance, name) structs,
+    ``array_sort`` it (lexicographic struct compare = distance, then
+    name — exactly the window's ORDER BY), ``slice`` the first k, and
+    ``posexplode``. No join node, no window exchange, no corpus
+    shuffle: at 100 TB the table is scanned once and each row emits its
+    k hits inline (the K-way sort runs in the instruction stream,
+    K = |sites| is a catalog, not a corpus). The DuckDB twin replays
+    the N x K cross join + QUALIFY row_number() <= k over the bit-exact
+    haversine twin expression, so every rank and fp6-gated distance
+    lands identically.
+
+    ``k`` is clamped to K (slice past the end would throw, and more
+    than K neighbors of K sites is vacuous).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    k = min(int(k), len(sites))
+    cands = F.array(*[
+        F.struct(
+            haversine_m(F.col(lat), F.col(lon),
+                        F.lit(float(slat)), F.lit(float(slon))).alias("d"),
+            F.lit(name).alias("s"))
+        for name, slat, slon in sites])
+    top = F.slice(F.array_sort(cands), 1, k)
+    from .text import fp6
+    ex = df.select("*", F.posexplode(top).alias("__pos", "__hit"))
+    return (ex.withColumn(out_rank, (F.col("__pos") + 1).cast("int"))
+            .withColumn(out_site, F.col("__hit")["s"])
+            .withColumn(out_dist, fp6(F.col("__hit")["d"]))
+            .drop("__pos", "__hit"))

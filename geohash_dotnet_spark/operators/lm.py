@@ -39,7 +39,9 @@ from .dedup import md5_60bit, md5_60bit_sql
 from .index import _dbl
 from .text import _tokens, fp6, fp6_sql
 
-__all__ = ["bigram_ppl", "bigram_ppl_sql", "collocations", "collocations_sql"]
+__all__ = ["bigram_ppl", "bigram_ppl_sql", "collocations",
+           "collocations_sql", "hashed_linear_score",
+           "hashed_linear_score_sql"]
 
 _TOKS_SQL_TMPL = "string_split_regex(trim(lower({text})), '\\s+')"
 
@@ -331,4 +333,97 @@ SELECT id AS {id_col}, n_tokens,
        {fp6_sql('(CAST(s_u AS DOUBLE) / 1000000.0e0) '
                 '/ CAST(n_tokens AS DOUBLE)')} AS avg_llr
 FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashed-n-gram linear classifier (fastText-architecture quality scorer)
+# ---------------------------------------------------------------------------
+
+def _hash_weight_milli(bucket_col):
+    """Deterministic frozen weight for a feature bucket, in integer
+    milli-units on [-1000, 1000]: Knuth multiplicative mix of the
+    bucket id modulo 2001, shifted to be zero-centred.  A stand-in for
+    trained coefficients with the same storage/compute shape (the
+    bucket id -> weight lookup is what a trained model ships); pure
+    integer arithmetic so both engines agree bit-for-bit."""
+    return F.pmod(bucket_col * F.lit(2654435761), F.lit(2001)) - F.lit(1000)
+
+
+def hashed_linear_score(df: DataFrame, id_col: str = "doc_id",
+                        text: str = "text",
+                        n_buckets: int = 1 << 20) -> DataFrame:
+    """fastText-architecture document classifier: hash each token
+    unigram and bigram into ``n_buckets`` buckets, average the buckets'
+    weights, threshold at zero — the "model-based quality filter" stage
+    of LLM data pipelines (fastText wiki-vs-crawl classifiers in GPT-3/
+    LLaMA/RedPajama curation), with frozen deterministic weights
+    standing in for trained ones (see _hash_weight_milli; the Spark
+    plumbing — feature hashing, bucket lookup, exact aggregation — is
+    identical either way, and training is out of scope for an engine).
+
+    Exactness: weights are integer milli-units, per-document scores are
+    exact BIGINT sums (addition-order independent on any layout), and
+    the final logit is ONE shared IEEE division — bit-identical in the
+    DuckDB twin (portable md5 bucket hashing, same integer mix).
+
+    Scale shape (100 TB): features explode in place (no shuffle —
+    unigram+bigram arrays are built per row inside the projection),
+    weights are a pure expression of the bucket id (NO weight-table
+    join at all — the "broadcast the model" step compiles into the
+    instruction stream), and the only exchange is the final id-keyed
+    aggregation whose map-side partials collapse each document to one
+    row.  A trained model would replace the weight expression with a
+    broadcast join against an n_buckets-row table — same plan shape.
+
+    Output: (id_col, n_feats, logit, label) — logit the fp6-gated mean
+    weight, label 1 when logit >= 0.
+    """
+    toks = _tokens(F.col(text))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    feats = F.concat(toks, bigrams)
+    b_mod = F.lit(int(n_buckets)).cast("long")
+    ex = df.select(F.col(id_col).cast("long").alias("id"),
+                   F.explode(feats).alias("f"))
+    w = _hash_weight_milli(F.pmod(md5_60bit(F.col("f")), b_mod))
+    agg = (ex.groupBy("id")
+           .agg(F.count(F.lit(1)).alias("n_feats"),
+                F.sum(w).alias("s_milli")))
+    logit = (F.col("s_milli").cast("double")
+             / (F.col("n_feats").cast("double") * F.lit(1000.0)))
+    return agg.select(
+        F.col("id").alias(id_col), "n_feats", fp6(logit).alias("logit"),
+        F.when(logit >= 0.0, 1).otherwise(0).alias("label"))
+
+
+def hashed_linear_score_sql(inner: str = "documents",
+                            id_col: str = "doc_id", text: str = "text",
+                            n_buckets: int = 1 << 20) -> str:
+    """DuckDB oracle twin of :func:`hashed_linear_score`."""
+    toks = _TOKS_SQL_TMPL.format(text=text)
+    # unigrams ++ bigrams, built with explicit index lambdas (the
+    # md5 hex->int helper uses its own guarded lambda variable)
+    feats = (f"list_concat({toks}, list_transform("
+             f"range(1, greatest(len({toks}) - 1, 0) + 1), "
+             f"__bg -> array_to_string(list_slice({toks}, __bg, __bg + 1), ' ')))")
+    bucket = f"(({md5_60bit_sql('f')}) % {n_buckets})"
+    w = f"((({bucket} * 2654435761) % 2001 + 2001) % 2001 - 1000)"
+    return f"""
+WITH ex AS (
+  SELECT CAST({id_col} AS BIGINT) AS id, unnest({feats}) AS f
+  FROM {inner}
+), sc AS (
+  SELECT id, count(*) AS n_feats, CAST(sum({w}) AS BIGINT) AS s_milli
+  FROM ex GROUP BY id
+)
+SELECT id AS {id_col}, n_feats,
+       {fp6_sql('CAST(s_milli AS DOUBLE) / (CAST(n_feats AS DOUBLE) * 1000.0)')}
+         AS logit,
+       CASE WHEN CAST(s_milli AS DOUBLE)
+                 / (CAST(n_feats AS DOUBLE) * 1000.0) >= 0.0
+            THEN 1 ELSE 0 END AS label
+FROM sc
 """

@@ -80,28 +80,42 @@ def test_non_sql_queries_run(spark, name):
 def test_window_boundary():
     """The external driver value-checks only the FIRST 50 ``queries()``
     keys (insertion order). Every key that is new this round, changed
-    this round, or was red/never-checked before MUST sit inside that
-    window — pin the set so a careless registry edit fails loudly."""
+    this round, or stale (last driver-checked two or more rounds ago)
+    MUST sit inside that window — pin the set so a careless registry
+    edit fails loudly.  Round 5: the 44 keys last checked in r1-r3
+    rotate back in (all 50 r4-window keys went green in CORRECTNESS_r04
+    and are unchanged, so their rows stay fresh while they sit outside);
+    new r5 keys and the flagship fill the rest."""
     keys = list(E.queries())
     window = set(keys[:50])
     must_check = {
-        # never driver-checked before r4 / red in r3 / changed in r3
-        "vocab_topk", "url_canonical_dedup", "extract_text",
-        "pack_shards", "semantic_dedup", "ivf_cosine_topk",
-        "url_host_stats",
-        # changed in r4
-        "quality", "decontaminate", "ngram_jaccard",
-        "ngram_jaccard_capped", "events_asof",
-        # new in r4
-        "domain_quota", "domain_mixture", "sample_exact",
-        "sample_exact_by_lang", "tile_clusters", "postings",
-        "bm25_search", "bigram_ppl", "collocations", "snapshot_diff",
-        "tile_flows", "kmeans_codebook", "char_entropy",
-        "user_mobility", "host_pagerank", "dup_spans",
-        "length_quantiles", "tile_anomaly", "dsir_weights",
-        "paragraph_dedup", "rect_join", "cotravel_pairs", "bpe_merges",
-        "zonal_stats", "phrase_search", "corridor_join", "k_anon_tiles",
-        "snap_route", "host_hits",
+        # last driver-checked in r3 or earlier (stale going into r5)
+        "gh_encode_p5", "cover_california", "cover_circles_table",
+        "spatial_join_refined", "compress_covering", "exact_dedup_groups",
+        "dedup_clusters", "latest_snapshot", "quadkey_tiles",
+        "event_sessions", "cover_tracks", "tile_smooth", "tile_trend",
+        "tile_hotspots", "tile_moran", "events_range_join",
+        "events_time_rollup", "nearest_city", "tile_quality_dist",
+        "minhash_pairs", "simhash_pairs", "token_stats",
+        "winnow_fingerprints", "repetition_stats", "boilerplate_stats",
+        "stratified_sample", "pii_scrub", "curation_pipeline",
+        "circle_join", "gh_decode", "gh_bbox", "gh_neighbors",
+        "gh_neighbor", "gh_children", "gh_validity", "gh_distance_cells",
+        "geofence_ring", "gh_grid_viewport", "salted_join",
+        "tile_counts_p2", "tile_rollup", "spatial_join_rect", "knn",
+        "knn_table",
+        # the flagship is re-checked every round
+        "flagship",
     }
+    # every key NEW in r5 is must-check too (NEW_IN_R5 is updated as
+    # queries land; keys absent from CORRECTNESS_r04 must be in-window)
+    assert not (NEW_IN_R5 - window), (
+        f"new r5 keys outside the 50-key window: {NEW_IN_R5 - window}")
     missing = must_check - window
     assert not missing, f"must-check keys outside the 50-key window: {missing}"
+
+
+# keys added in round 5 (updated as they land); test_window_boundary
+# requires each to sit inside the driver's 50-key value-check window
+NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
+             "minhash_incremental", "classifier_scores"}

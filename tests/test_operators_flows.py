@@ -79,3 +79,88 @@ def test_user_mobility_layout_independent(spark):
     a = sorted(map(tuple, user_mobility(df).collect()))
     b = sorted(map(tuple, user_mobility(df.repartition(7)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# stay_points
+# ---------------------------------------------------------------------------
+
+def test_stay_points_known_runs(spark):
+    from geohash_dotnet_spark.operators import stay_points
+
+    rows = [
+        _ev(1, 0, *BERLIN, 10), _ev(1, 10, *BERLIN, 11),   # berlin run x2
+        _ev(1, 20, *NYC, 12),                               # lone nyc point
+        _ev(1, 30, *BERLIN, 13), _ev(1, 40, *BERLIN, 14),  # NEW berlin run
+        _ev(2, 0, *TOKYO, 20), _ev(2, 5, *TOKYO, 21), _ev(2, 9, *TOKYO, 22),
+    ]
+    out = stay_points(spark.createDataFrame(rows, SCHEMA), precision=1,
+                      min_dwell_s=0, min_points=2,
+                      tiebreak="event_id").collect()
+    runs = sorted((r["user_id"], r["cell"], r["n_points"], r["dwell_us"])
+                  for r in out)
+    # the singleton nyc visit is filtered; the two berlin runs stay SEPARATE
+    assert runs == [(1, "u", 2, 10_000_000), (1, "u", 2, 10_000_000),
+                    (2, "x", 3, 9_000_000)]
+
+
+def test_stay_points_dwell_floor(spark):
+    from geohash_dotnet_spark.operators import stay_points
+
+    rows = [_ev(1, 0, *BERLIN, 1), _ev(1, 30, *BERLIN, 2),    # 30 s dwell
+            _ev(2, 0, *NYC, 3), _ev(2, 45, *NYC, 4)]          # 45 s dwell
+    out = stay_points(spark.createDataFrame(rows, SCHEMA), precision=1,
+                      min_dwell_s=40, min_points=2,
+                      tiebreak="event_id").collect()
+    assert [(r["user_id"], r["n_points"]) for r in out] == [(2, 2)]
+
+
+def test_stay_points_layout_invariant(spark):
+    """Same stays whatever the input partitioning (the user-keyed
+    exchange renders layout irrelevant)."""
+    from geohash_dotnet_spark.operators import stay_points
+
+    rows = [_ev(u, s, *BERLIN, u * 100 + s)
+            for u in (1, 2, 3) for s in (0, 10, 20)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    a = sorted(map(tuple, stay_points(df.coalesce(1), precision=1,
+                                      tiebreak="event_id").collect()))
+    b = sorted(map(tuple, stay_points(df.repartition(7), precision=1,
+                                      tiebreak="event_id").collect()))
+    assert a == b and len(a) == 3
+
+
+# ---------------------------------------------------------------------------
+# trip_stats
+# ---------------------------------------------------------------------------
+
+def test_trip_stats_gap_split_and_length(spark):
+    from geohash_dotnet_spark.operators import trip_stats
+
+    # user 1: two points 1 s apart (one trip), then a point 2 h later
+    # (gap > 3600 s opens trip 2 — but it's a singleton, filtered)
+    rows = [_ev(1, 0, *BERLIN, 1), _ev(1, 1, *NYC, 2)]
+    rows.append((1, datetime(2024, 1, 1, 2, 0, 1), *TOKYO, 3))
+    out = trip_stats(spark.createDataFrame(rows, SCHEMA), gap_s=3600,
+                     min_points=2, tiebreak="event_id").collect()
+    assert len(out) == 1
+    t = out[0]
+    assert (t["user_id"], t["n_points"], t["duration_us"]) == (1, 2, 1_000_000)
+    # berlin->nyc great-circle is ~6,387 km; mm quantization keeps it exact
+    assert abs(t["dist_m"] - 6_387_000) < 10_000
+    assert t["dist_m"] * 1000 == int(t["dist_m"] * 1000)
+
+
+def test_trip_stats_layout_invariant_path_sum(spark):
+    """Integer-mm leg quantization makes path sums bit-identical across
+    layouts (double sums would be addition-order dependent)."""
+    from geohash_dotnet_spark.operators import trip_stats
+
+    rows = [_ev(1, s, 50.0 + 0.01 * s, 10.0 + 0.013 * s, s)
+            for s in range(0, 50)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    a = trip_stats(df.coalesce(1), gap_s=3600,
+                   tiebreak="event_id").collect()[0]["dist_m"]
+    b = trip_stats(df.repartition(11), gap_s=3600,
+                   tiebreak="event_id").collect()[0]["dist_m"]
+    assert a == b
