@@ -1731,16 +1731,19 @@ def q_stay_points(spark, sf_dir):
     from geohash_dotnet_spark.operators import stay_points
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # cell joins the sort key: (user_id, enter_ts) alone is not a total
+    # order (same-ts events in two adjacent cells open two runs with one
+    # enter_ts) and the driver's value hash is row-order sensitive
     return (stay_points(_sticky_events(spark, sf_dir), precision=3,
                         min_dwell_s=3600, min_points=2,
                         tiebreak="event_id")
-            .orderBy("user_id", "enter_ts"))
+            .orderBy("user_id", "enter_ts", "cell"))
 
 
 def q_trip_stats(spark, sf_dir):
     """Trip segmentation: split each user's event stream at >6h gaps;
     per-trip point count, duration, and exact great-circle path length
-    (integer-micrometer leg quantization so the sum is addition-order
+    (integer-millimeter leg quantization so the sum is addition-order
     independent)."""
     from geohash_dotnet_spark.functions.native import geocode_from_url
     from geohash_dotnet_spark.operators import trip_stats
@@ -2141,7 +2144,7 @@ def oracle_sql() -> dict[str, str]:
             + stay_points_sql(f"({_sticky_events_sql()})", precision=3,
                               min_dwell_s=3600, min_points=2,
                               tiebreak="event_id")
-            + ") ORDER BY user_id, enter_ts",
+            + ") ORDER BY user_id, enter_ts, cell",
         "trip_stats":
             "SELECT * FROM ("
             + trip_stats_sql(

@@ -264,6 +264,32 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                      _minhash_sig_udf(num_hashes)(hashed).alias("sig"))
 
 
+def _prep_bands(df: DataFrame, id_col: str, text: str, n: int,
+                num_hashes: int, bands: int,
+                persist_shingles: bool) -> tuple[DataFrame, DataFrame]:
+    """Shared shingle -> signature -> band pipeline for the self-join and
+    cross-snapshot LSH operators: returns ``(sh, banded)`` where ``sh`` is
+    (id, sh array<string>) distinct shingles (optionally persisted — the
+    arrays feed the signature pass AND the exact-verify joins, see
+    minhash_lsh_pairs) and ``banded`` is (id, band, band_hash) with
+    ``bands`` hashes of ``num_hashes // bands``-row signature slices."""
+    rows_per_band = num_hashes // bands
+    sh = df.select(F.col(id_col).alias("id"),
+                   _shingles(F.col(text), n).alias("sh"))
+    if persist_shingles:
+        sh = _persist(sh)
+    sigs = sh.select(
+        "id", _minhash_sig_udf(num_hashes)(
+            F.transform("sh", lambda s: F.xxhash64(s))).alias("sig"))
+    banded = sigs.select(
+        "id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> hash(slice(sig, b * {rows_per_band} + 1, "
+            f"{rows_per_band})))")).alias("band", "band_hash"))
+    return sh, banded
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text: str = "text", n: int = 3, num_hashes: int = 128,
                       bands: int = 32, threshold: float = 0.5,
@@ -287,29 +313,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     j in [0.5, ~0.65) band; a future corpus with a borderline pair
     would show LSH as a strict (and expected) subset of the exact form.
     """
-    rows_per_band = num_hashes // bands
-    sh = df.select(F.col(id_col).alias("id"),
-                   _shingles(F.col(text), n).alias("sh"))
-    if persist_shingles:
-        # the shingle arrays feed three lineage branches (signatures +
-        # both verify sides); persisting skips two extra tokenization
-        # passes over the corpus — measured ~1.8x faster even at sf0.1
-        # (5k docs) and increasingly dominant as the corpus scan grows.
-        # MEMORY_AND_DISK spill keeps it safe past cache capacity; pass
-        # False to keep the operator stateless. The cache is registered
-        # for release_dedup_cache() so long-lived sessions can free it
-        # once the output is materialized (round-2 ADVICE: the previous
-        # form pinned shingle arrays until session shutdown).
-        sh = _persist(sh)
-    sigs = sh.select(
-        "id", _minhash_sig_udf(num_hashes)(
-            F.transform("sh", lambda s: F.xxhash64(s))).alias("sig"))
-    banded = sigs.select(
-        "id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {bands - 1}), "
-            f"b -> hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
-        )).alias("band", "band_hash"))
+    # persist_shingles: the shingle arrays feed three lineage branches
+    # (signatures + both verify sides); persisting skips two extra
+    # tokenization passes over the corpus — measured ~1.8x faster even at
+    # sf0.1 (5k docs) and increasingly dominant as the corpus scan grows.
+    # MEMORY_AND_DISK spill keeps it safe past cache capacity; pass False
+    # to keep the operator stateless. The cache is registered for
+    # release_dedup_cache() so long-lived sessions can free it once the
+    # output is materialized (round-2 ADVICE: the previous form pinned
+    # shingle arrays until session shutdown).
+    sh, banded = _prep_bands(df, id_col, text, n, num_hashes, bands,
+                             persist_shingles)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, on=["band", "band_hash"])
@@ -349,26 +363,10 @@ def minhash_lsh_pairs_cross(df_new: DataFrame, df_old: DataFrame,
     thresholds near 0.5 (see minhash_lsh_pairs); the driver oracle is
     the exact relational cross-corpus Jaccard, so equality asserts
     100% LSH recall on the corpus under test."""
-    rows_per_band = num_hashes // bands
-
-    def prep(df):
-        sh = df.select(F.col(id_col).alias("id"),
-                       _shingles(F.col(text), n).alias("sh"))
-        if persist_shingles:
-            sh = _persist(sh)
-        sigs = sh.select(
-            "id", _minhash_sig_udf(num_hashes)(
-                F.transform("sh", lambda s: F.xxhash64(s))).alias("sig"))
-        banded = sigs.select(
-            "id",
-            F.posexplode(F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> hash(slice(sig, b * {rows_per_band} + 1, "
-                f"{rows_per_band})))")).alias("band", "band_hash"))
-        return sh, banded
-
-    sh_new, band_new = prep(df_new)
-    sh_old, band_old = prep(df_old)
+    sh_new, band_new = _prep_bands(df_new, id_col, text, n, num_hashes,
+                                   bands, persist_shingles)
+    sh_old, band_old = _prep_bands(df_old, id_col, text, n, num_hashes,
+                                   bands, persist_shingles)
     cand = (band_new.alias("a")
             .join(band_old.alias("b"), on=["band", "band_hash"])
             .select(F.col("a.id").alias("id_new"),

@@ -261,22 +261,22 @@ def trip_stats(df: DataFrame, user: str = "user_id", ts: str = "ts",
     from ..functions.native import haversine_m
     leg = haversine_m(F.lag(lat).over(w), F.lag(lon).over(w),
                       F.col(lat), F.col(lon))
-    leg_um = F.when(new_trip == 1, F.lit(0)).otherwise(
+    leg_mm = F.when(new_trip == 1, F.lit(0)).otherwise(
         F.floor(leg * F.lit(float(_MM)) + F.lit(0.5))).cast("long")
     seg = (df.withColumn("__new", new_trip)
-           .withColumn("__leg_um", leg_um)
+           .withColumn("__leg_mm", leg_mm)
            .withColumn("__trip", F.sum("__new").over(
                w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     out = (seg.groupBy(user, F.col("__trip").alias("trip_idx"))
            .agg(F.count(F.lit(1)).alias("n_points"),
                 F.min(ts).alias("start_ts"), F.max(ts).alias("end_ts"),
-                F.sum("__leg_um").alias("__um")))
+                F.sum("__leg_mm").alias("__mm")))
     dur = (F.unix_micros(F.col("end_ts").cast("timestamp"))
            - F.unix_micros(F.col("start_ts").cast("timestamp")))
     return (out.select(
         user, "trip_idx", "n_points", "start_ts", "end_ts",
         dur.alias("duration_us"),
-        (F.col("__um").cast("double") / F.lit(float(_MM))).alias("dist_m"))
+        (F.col("__mm").cast("double") / F.lit(float(_MM))).alias("dist_m"))
         .filter(F.col("n_points") >= min_points))
 
 
@@ -304,10 +304,10 @@ WITH l AS (
                    OR epoch_us({ts}) - epoch_us(pts) > {int(gap_s) * 1_000_000}
               THEN CAST(0 AS BIGINT)
               ELSE CAST(floor({hv} * {_MM}.0 + 0.5) AS BIGINT)
-         END AS leg_um
+         END AS leg_mm
   FROM l
 ), r AS (
-  SELECT {user}, {ts}, leg_um,
+  SELECT {user}, {ts}, leg_mm,
          sum(new_trip) OVER (PARTITION BY {user} ORDER BY {order}
                              ROWS UNBOUNDED PRECEDING) AS trip_idx
   FROM s
@@ -315,7 +315,7 @@ WITH l AS (
 SELECT {user}, trip_idx, count(*) AS n_points,
        min({ts}) AS start_ts, max({ts}) AS end_ts,
        epoch_us(max({ts})) - epoch_us(min({ts})) AS duration_us,
-       CAST(sum(leg_um) AS DOUBLE) / {_MM}.0 AS dist_m
+       CAST(sum(leg_mm) AS DOUBLE) / {_MM}.0 AS dist_m
 FROM r GROUP BY {user}, trip_idx
 HAVING count(*) >= {min_points}
 """

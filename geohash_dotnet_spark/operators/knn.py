@@ -190,6 +190,10 @@ def nearest_sites(df: DataFrame, sites: list[tuple[str, float, float]],
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if not sites:
+        # an empty catalog would slice to an empty array and posexplode
+        # away EVERY input row — surface the miswiring instead
+        raise ValueError("sites must be non-empty")
     k = min(int(k), len(sites))
     cands = F.array(*[
         F.struct(

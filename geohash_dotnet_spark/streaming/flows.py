@@ -27,10 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.native import with_geohash
+from ._order import tiebreak_projection
 
 OUT_SCHEMA = ("user string, from_tile string, to_tile string, "
               "move_ts_us long")
-STATE_SCHEMA = "ts_us long, tb string, tile string"
 
 
 def streaming_tile_flows(spark: SparkSession, source_dir: str, schema: str,
@@ -50,12 +50,16 @@ def streaming_tile_flows(spark: SparkSession, source_dir: str, schema: str,
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     g = with_geohash(stream, lat, lon, precision)
+    # native-type tiebreak: integral ids order numerically, matching the
+    # batch window's ORDER BY (string-cast would put '10' before '9')
+    tb_col, tb_type = tiebreak_projection(g, tiebreak)
+    tb_conv = int if tb_type == "long" else str
     # NTZ-safe: unix_micros rejects TIMESTAMP_NTZ (cast is a no-op for
     # plain TIMESTAMP; pin the session timezone for NTZ sources)
     proj = g.select(F.col(user).cast("string").alias("user"),
                     F.unix_micros(F.col(ts).cast("timestamp"))
                     .alias("ts_us"),
-                    F.col(tiebreak).cast("string").alias("tb"),
+                    tb_col,
                     F.col("gh").alias("tile"))
 
     def update(key, pdfs, state: "GroupState"):
@@ -94,7 +98,7 @@ def streaming_tile_flows(spark: SparkSession, source_dir: str, schema: str,
             "move_ts_us": pdf["ts_us"].to_numpy()[moved],
         })
         last = pdf.iloc[-1]
-        state.update((int(last["ts_us"]), str(last["tb"]),
+        state.update((int(last["ts_us"]), tb_conv(last["tb"]),
                       str(last["tile"])))
         yield out
 
@@ -102,7 +106,7 @@ def streaming_tile_flows(spark: SparkSession, source_dir: str, schema: str,
             .applyInPandasWithState(
                 update,
                 outputStructType=OUT_SCHEMA,
-                stateStructType=STATE_SCHEMA,
+                stateStructType=f"ts_us long, tb {tb_type}, tile string",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
 

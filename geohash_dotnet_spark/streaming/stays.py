@@ -33,10 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.native import with_geohash
+from ._order import tiebreak_projection
 
 OUT_SCHEMA = ("user string, cell string, enter_ts_us long, "
               "exit_ts_us long, n_points long")
-STATE_SCHEMA = "cell string, enter_us long, ts_us long, tb string, n long"
 
 
 def streaming_stay_points(spark: SparkSession, source_dir: str,
@@ -54,10 +54,14 @@ def streaming_stay_points(spark: SparkSession, source_dir: str,
     min_dwell_us = int(min_dwell_s) * 1_000_000
     stream = spark.readStream.schema(schema).parquet(source_dir)
     g = with_geohash(stream, lat, lon, precision)
+    # native-type tiebreak: integral ids order numerically, matching the
+    # batch window's ORDER BY (string-cast would put '10' before '9')
+    tb_col, tb_type = tiebreak_projection(g, tiebreak)
+    tb_conv = int if tb_type == "long" else str
     proj = g.select(F.col(user).cast("string").alias("user"),
                     F.unix_micros(F.col(ts).cast("timestamp"))
                     .alias("ts_us"),
-                    F.col(tiebreak).cast("string").alias("tb"),
+                    tb_col,
                     F.col("gh").alias("tile"))
 
     def _empty_out():
@@ -121,7 +125,7 @@ def streaming_stay_points(spark: SparkSession, source_dir: str,
 
         last = pdf.iloc[-1]
         state.update((str(cells[-1]), int(enters[-1]),
-                      int(last["ts_us"]), str(last["tb"]),
+                      int(last["ts_us"]), tb_conv(last["tb"]),
                       int(counts[-1])))
 
         if not closed_cells:
@@ -143,6 +147,7 @@ def streaming_stay_points(spark: SparkSession, source_dir: str,
             .applyInPandasWithState(
                 update,
                 outputStructType=OUT_SCHEMA,
-                stateStructType=STATE_SCHEMA,
+                stateStructType=("cell string, enter_us long, ts_us long, "
+                                 f"tb {tb_type}, n long"),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

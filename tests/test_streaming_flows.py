@@ -87,3 +87,38 @@ def test_streaming_flows_drop_late_rows(spark, sf_small, tmp_path):
     # the replayed copy of the LAST event per user ties the saved
     # position (equal ts and tiebreak) and is dropped as late too
     assert n2 == n1
+
+
+def test_streaming_flows_numeric_tiebreak(spark, tmp_path):
+    """Same-timestamp events with ids 9 and 10 must order NUMERICALLY:
+    a string-cast tiebreak gates a new id-10 row at the saved (ts, 9)
+    position as late ('10' < '9') and silently drops its transition.
+    Regression for the native-type tiebreak projection."""
+    import datetime as dt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 0, 10, 0)
+    a = (0.1, 0.1)
+    b = (40.0, 40.0)
+    sch = "user_id long, ts timestamp, event_id long, lat double, lon double"
+    batch1 = [(1, t0, 5, *a), (1, t1, 9, *a)]
+    batch2 = [(1, t1, 10, *b)]  # same ts as id 9: dropped iff '10' < '9'
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    spark.createDataFrame(batch1, sch).write.parquet(src)
+    q = (streaming_tile_flows(spark, src, sch, precision=3)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    spark.createDataFrame(batch2, sch).write.mode("append").parquet(src)
+    q = (streaming_tile_flows(spark, src, sch, precision=3)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = spark.read.parquet(out).collect()
+    # exactly one move: cell A -> cell B at t1, driven by the id-10 row
+    assert len(rows) == 1 and rows[0]["move_ts_us"] == (
+        int(t1.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000)

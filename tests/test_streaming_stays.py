@@ -7,8 +7,8 @@ from pyspark.sql import functions as F
 from geohash_dotnet_spark.operators.flows import stay_points
 from geohash_dotnet_spark.streaming.stays import streaming_stay_points
 
-SCHEMA = ("event_id long, ts timestamp, user_id long, event_type string, "
-          "value double, lat double, lon double")
+SCHEMA = ("user_id long, ts timestamp, event_id long, "
+          "lat double, lon double")
 
 P = 3
 MIN_DWELL_S = 600
@@ -16,18 +16,12 @@ MIN_POINTS = 2
 
 
 def _sticky(spark, sf_small):
-    """Sticky home+jitter events (the q_stay_points input shape)."""
-    from geohash_dotnet_spark.functions.native import geocode_from_url
+    """Sticky home+jitter events — exactly the q_stay_points input
+    (imported, not re-derived: the jitter scale was tuned against the p3
+    cell size and a drifting copy here would silently change coverage)."""
+    from __spark_entry__ import _sticky_events
 
-    ev = (spark.read.parquet(f"{sf_small}/events.parquet")
-          .withColumn("__uid", F.col("user_id").cast("string"))
-          .withColumn("__eid", F.col("event_id").cast("string")))
-    ev = geocode_from_url(ev, url="__uid", lat_out="h_lat", lon_out="h_lon")
-    ev = geocode_from_url(ev, url="__eid", lat_out="j_lat", lon_out="j_lon")
-    return ev.select(
-        "event_id", "ts", "user_id", "event_type", "value",
-        (F.col("h_lat") + F.col("j_lat") * F.lit(0.35 / 90.0)).alias("lat"),
-        (F.col("h_lon") + F.col("j_lon") * F.lit(0.35 / 180.0)).alias("lon"))
+    return _sticky_events(spark, sf_small)
 
 
 def _drain(spark, src, ckpt, out):
@@ -114,3 +108,44 @@ def test_streaming_stays_replay_emits_nothing(spark, sf_small, tmp_path):
     ev.write.mode("append").parquet(src)
     _drain(spark, src, ckpt, out)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_streaming_stays_numeric_tiebreak(spark, tmp_path):
+    """Same-timestamp events with ids 9 and 10 must order NUMERICALLY
+    (9 then 10) — a string-cast tiebreak puts '10' before '9', which
+    both segments runs differently from the batch twin and, across
+    batches, gates a genuinely-new id-10 row as late (silent data
+    loss). Regression for the native-type tiebreak projection."""
+    import datetime as dt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 0, 10, 0)
+    t2 = dt.datetime(2024, 1, 1, 0, 20, 0)
+    a = (0.1, 0.1)      # cell A (p3)
+    b = (40.0, 40.0)    # cell B (p3) — closes the A run
+    batch1 = [(1, t0, 5, *a), (1, t1, 9, *a)]
+    batch2 = [(1, t1, 10, *a),  # same ts as id 9: late iff '10' < '9'
+              (1, t2, 11, *b)]
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    spark.createDataFrame(batch1, SCHEMA).write.parquet(src)
+    q = (streaming_stay_points(spark, src, SCHEMA, precision=P,
+                               min_dwell_s=0, min_points=1)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    spark.createDataFrame(batch2, SCHEMA).write.mode("append").parquet(src)
+    q = (streaming_stay_points(spark, src, SCHEMA, precision=P,
+                               min_dwell_s=0, min_points=1)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # ids 5, 9 AND 10 belong to the closed cell-A run
+    assert r["n_points"] == 3
+    assert r["enter_ts_us"] == _us(t0) and r["exit_ts_us"] == _us(t1)
