@@ -168,15 +168,35 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def _toks_sql(text: str) -> str:
+    """DuckDB twin of the operator tokenizer (whitespace split of
+    trim(lower(text))) — the ONE definition every dedup oracle embeds, so
+    a tokenizer change cannot desync one oracle from the Spark side."""
+    return f"string_split_regex(trim(lower({text})), '\\s+')"
+
+
+def _shingle_sql(text: str, n: int) -> str:
+    """DuckDB twin of _shingles: distinct word n-grams as a list."""
+    toks = _toks_sql(text)
+    return (f"list_distinct(list_transform("
+            f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))")
+
+
+def _jaccard_fp6_sql(sa: str = "sa.n_sh", sb: str = "sb.n_sh",
+                     inter: str = "inter") -> str:
+    """fp6-quantized Jaccard from intersection + per-side shingle counts
+    (shared by the self-join and cross-snapshot oracles)."""
+    from .text import fp6_sql
+    return fp6_sql(f"CAST({inter} AS DOUBLE) / ({sa} + {sb} - {inter})")
+
+
 def ngram_jaccard_sql(inner: str = "documents", id_col: str = "doc_id",
                       text: str = "text", n: int = 3,
                       threshold: float = 0.5,
                       max_df: float | None = None) -> str:
     """DuckDB oracle twin of ngram_jaccard_pairs (incl. the max_df cap)."""
-    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
-    shingle = (f"list_distinct(list_transform("
-               f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
-               f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))")
+    shingle = _shingle_sql(text, n)
     cap_cte = ""
     sh_src = "sh0"
     if max_df is not None:
@@ -198,11 +218,9 @@ WITH sh0 AS (
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
-       floor(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
-             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       {_jaccard_fp6_sql()} AS jaccard
 FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-WHERE floor(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
-            * 1000000.0 + 0.5) / 1000000.0 >= {threshold}
+WHERE {_jaccard_fp6_sql()} >= {threshold}
 """
 
 
@@ -278,7 +296,12 @@ def _prep_bands(df: DataFrame, id_col: str, text: str, n: int,
                    _shingles(F.col(text), n).alias("sh"))
     if persist_shingles:
         sh = _persist(sh)
-    sigs = sh.select(
+    # shingle-less docs (< n tokens) would all share the identity
+    # signature (every slot = the missing-value sentinel) and band-match
+    # each OTHER in all bands — |empty| x |empty| candidates that the
+    # Jaccard verify only discards later. They can never reach a nonzero
+    # Jaccard, so drop them before the signature pass entirely.
+    sigs = sh.filter(F.size("sh") >= 1).select(
         "id", _minhash_sig_udf(num_hashes)(
             F.transform("sh", lambda s: F.xxhash64(s))).alias("sig"))
     banded = sigs.select(
@@ -388,10 +411,7 @@ def minhash_cross_sql(new_inner: str, old_inner: str,
     """Driver oracle for minhash_lsh_pairs_cross: exact relational
     cross-corpus Jaccard at the same threshold (checks the LSH recall
     claim rather than re-deriving the banding)."""
-    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
-    shingle = (f"list_distinct(list_transform("
-               f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
-               f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))")
+    shingle = _shingle_sql(text, n)
     return f"""
 WITH sha AS (
   SELECT DISTINCT {id_col} AS id, unnest({shingle}) AS shingle
@@ -406,11 +426,9 @@ inter AS (
   FROM sha a JOIN shb b USING (shingle) GROUP BY a.id, b.id
 )
 SELECT id_new, id_old,
-       floor(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
-             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       {_jaccard_fp6_sql()} AS jaccard
 FROM inter JOIN sza sa ON sa.id = id_new JOIN szb sb ON sb.id = id_old
-WHERE floor(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
-            * 1000000.0 + 0.5) / 1000000.0 >= {threshold}
+WHERE {_jaccard_fp6_sql()} >= {threshold}
 """
 
 
@@ -607,7 +625,7 @@ def simhash_sql(inner: str = "documents", id_col: str = "doc_id",
     """DuckDB oracle twin of simhash_near_pairs: recompute every document's
     60-bit SimHash from the same md5-derived token hashes, then exact
     all-pairs hamming (fine at oracle scale)."""
-    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
+    toks = _toks_sql(text)
     h = md5_60bit_sql("tok")
     return f"""
 WITH th AS (

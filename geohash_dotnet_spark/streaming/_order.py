@@ -13,21 +13,39 @@ smaller than the saved one.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+from pyspark.sql.types import (ByteType, DoubleType, FloatType, IntegerType,
+                               LongType, ShortType, StringType)
 
 _INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+_FRACTIONAL = (FloatType, DoubleType)
 
 
-def tiebreak_projection(df: DataFrame, tiebreak: str) -> tuple[Column, str]:
-    """Return ``(column, state_type)`` for projecting ``tiebreak`` into a
-    stateful stream: integral columns stay integers (widened to long);
-    everything else becomes a string ordered lexicographically — in both
-    cases the comparison semantics match the batch window's native-type
-    ORDER BY.  ``state_type`` is the type name to splice into the state
-    struct schema."""
+def tiebreak_projection(
+        df: DataFrame, tiebreak: str) -> tuple[Column, str, Callable]:
+    """Return ``(column, state_type, to_python)`` for projecting
+    ``tiebreak`` into a stateful stream: integral columns stay integers
+    (widened to long), float/double stay doubles, strings stay strings
+    ordered lexicographically — in every supported case the comparison
+    semantics match the batch window's native-type ORDER BY.
+    ``state_type`` is the type name to splice into the state struct
+    schema; ``to_python`` converts a pandas cell to the plain Python
+    value stored in state (so the saved position compares in the same
+    domain).  Any other type (decimal, timestamp, ...) raises: its
+    string rendering does NOT order like the native type, and silently
+    falling back would drop genuinely-new same-timestamp rows as late —
+    cast the tiebreak to long/double/string upstream instead."""
     dt = df.schema[tiebreak].dataType
     if isinstance(dt, _INTEGRAL):
-        return F.col(tiebreak).cast("long").alias("tb"), "long"
-    return F.col(tiebreak).cast("string").alias("tb"), "string"
+        return F.col(tiebreak).cast("long").alias("tb"), "long", int
+    if isinstance(dt, _FRACTIONAL):
+        return F.col(tiebreak).cast("double").alias("tb"), "double", float
+    if isinstance(dt, StringType):
+        return F.col(tiebreak).alias("tb"), "string", str
+    raise TypeError(
+        f"tiebreak column {tiebreak!r} has type {dt.simpleString()}: "
+        "lexicographic string ordering diverges from the native ORDER BY "
+        "for this type; cast it to long, double, or string upstream")

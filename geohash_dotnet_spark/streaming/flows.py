@@ -19,6 +19,14 @@ by the parity test.
 State per user: (last ts_us, last tiebreak, last tile) — one row.
 Inside the update fn everything is NumPy-vectorized per Arrow batch
 (sort + shifted-compare); no per-row Python.
+
+Checkpoint compatibility: the state struct's ``tb`` field takes the
+tiebreak column's native type (long/double/string), so a checkpoint
+written by an earlier build that always stored ``tb string`` cannot be
+resumed with an integral tiebreak — Spark's state schema checker fails
+the query. Restart such a pipeline from a fresh checkpoint dir (the
+ordering fix is worth the one-time reset: the old string order could
+silently drop same-timestamp rows as late).
 """
 
 from __future__ import annotations
@@ -52,8 +60,7 @@ def streaming_tile_flows(spark: SparkSession, source_dir: str, schema: str,
     g = with_geohash(stream, lat, lon, precision)
     # native-type tiebreak: integral ids order numerically, matching the
     # batch window's ORDER BY (string-cast would put '10' before '9')
-    tb_col, tb_type = tiebreak_projection(g, tiebreak)
-    tb_conv = int if tb_type == "long" else str
+    tb_col, tb_type, tb_conv = tiebreak_projection(g, tiebreak)
     # NTZ-safe: unix_micros rejects TIMESTAMP_NTZ (cast is a no-op for
     # plain TIMESTAMP; pin the session timezone for NTZ sources)
     proj = g.select(F.col(user).cast("string").alias("user"),

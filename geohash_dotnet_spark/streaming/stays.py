@@ -56,8 +56,7 @@ def streaming_stay_points(spark: SparkSession, source_dir: str,
     g = with_geohash(stream, lat, lon, precision)
     # native-type tiebreak: integral ids order numerically, matching the
     # batch window's ORDER BY (string-cast would put '10' before '9')
-    tb_col, tb_type = tiebreak_projection(g, tiebreak)
-    tb_conv = int if tb_type == "long" else str
+    tb_col, tb_type, tb_conv = tiebreak_projection(g, tiebreak)
     proj = g.select(F.col(user).cast("string").alias("user"),
                     F.unix_micros(F.col(ts).cast("timestamp"))
                     .alias("ts_us"),

@@ -73,3 +73,27 @@ def test_classifier_no_weight_table_join(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_prep_bands_drops_shingleless_docs(spark):
+    """Docs shorter than n tokens have no shingles; they must not reach
+    the banding stage at all (they would all share the identity MinHash
+    signature and band-match each other quadratically — the verify join
+    discards the pairs, but only after paying for them)."""
+    from geohash_dotnet_spark.operators.dedup import _prep_bands
+
+    df = _corpus(spark, [(1, "one two"), (2, "so short"), (3, ""),
+                         (4, BASE)])
+    sh, banded = _prep_bands(df, "doc_id", "text", n=3,
+                             num_hashes=128, bands=32,
+                             persist_shingles=False)
+    assert sh.count() == 4                       # shingle arrays keep all
+    assert banded.select("id").distinct().collect() == [  # bands: only 4
+        spark.createDataFrame([(4,)], "id long").collect()[0]]
+
+
+def test_cross_minhash_short_docs_no_pairs(spark):
+    """All-short snapshots: zero candidates, zero pairs (not |new|x|old|)."""
+    old = _corpus(spark, [(i, "tiny doc") for i in range(1, 6)])
+    new = _corpus(spark, [(100 + i, "also tiny") for i in range(5)])
+    assert minhash_lsh_pairs_cross(new, old, threshold=0.5).count() == 0

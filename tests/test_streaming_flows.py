@@ -122,3 +122,22 @@ def test_streaming_flows_numeric_tiebreak(spark, tmp_path):
     # exactly one move: cell A -> cell B at t1, driven by the id-10 row
     assert len(rows) == 1 and rows[0]["move_ts_us"] == (
         int(t1.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000)
+
+
+def test_tiebreak_projection_types(spark):
+    """Native-type contract: integral -> long, float/double -> double,
+    string -> string; anything whose string rendering orders differently
+    from its native ORDER BY (decimal, timestamp, ...) raises instead of
+    silently falling back to lexicographic order."""
+    import pytest
+
+    from geohash_dotnet_spark.streaming._order import tiebreak_projection
+
+    df = spark.createDataFrame(
+        [(1, 1.5, "a", __import__("datetime").datetime(2024, 1, 1))],
+        "i long, d double, s string, t timestamp")
+    assert tiebreak_projection(df, "i")[1:] == ("long", int)
+    assert tiebreak_projection(df, "d")[1:] == ("double", float)
+    assert tiebreak_projection(df, "s")[1:] == ("string", str)
+    with pytest.raises(TypeError, match="native ORDER BY"):
+        tiebreak_projection(df, "t")
