@@ -164,3 +164,20 @@ def test_trip_stats_layout_invariant_path_sum(spark):
     b = trip_stats(df.repartition(11), gap_s=3600,
                    tiebreak="event_id").collect()[0]["dist_m"]
     assert a == b
+
+
+def test_stay_trip_single_exchange_plan(spark):
+    """The docstring shape claim, pinned: ONE user-keyed exchange and ONE
+    sort feed both window passes (lag + running sum share the window
+    spec), and the (user, run/trip) aggregation rides the same
+    partitioning (user is a subset of the grouping keys) — no second
+    shuffle anywhere."""
+    from geohash_dotnet_spark.operators import stay_points, trip_stats
+
+    df = spark.createDataFrame(
+        [_ev(1, s, *BERLIN, s) for s in range(5)], SCHEMA)
+    for op in (lambda: stay_points(df, tiebreak="event_id"),
+               lambda: trip_stats(df, tiebreak="event_id")):
+        plan = op()._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Sort ") == 1
