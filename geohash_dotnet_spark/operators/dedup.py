@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import _tokens, fp6, with_fingerprint
+from .text import _tokens, fp6, fp6_sql, with_fingerprint
 
 # 128 fixed odd multipliers/offsets for the MinHash permutation family
 # h_i(x) = (a_i * x + b_i) mod 2^64 (multiply-shift family; uint64 wrap)
@@ -187,7 +187,6 @@ def _jaccard_fp6_sql(sa: str = "sa.n_sh", sb: str = "sb.n_sh",
                      inter: str = "inter") -> str:
     """fp6-quantized Jaccard from intersection + per-side shingle counts
     (shared by the self-join and cross-snapshot oracles)."""
-    from .text import fp6_sql
     return fp6_sql(f"CAST({inter} AS DOUBLE) / ({sa} + {sb} - {inter})")
 
 
@@ -855,7 +854,6 @@ def duplicate_spans_sql(inner: str, id_col: str = "doc_id",
                         text: str = "text", width: int = 15,
                         min_docs: int = 2) -> str:
     """DuckDB oracle twin of :func:`duplicate_spans`."""
-    from .text import fp6_sql  # fp6_sql is not in this module's top import
     frac = fp6_sql("CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)")
     return f"""
 WITH t AS (
