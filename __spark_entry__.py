@@ -1731,13 +1731,18 @@ def q_stay_points(spark, sf_dir):
     from geohash_dotnet_spark.operators import stay_points
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # cell joins the sort key: (user_id, enter_ts) alone is not a total
-    # order (same-ts events in two adjacent cells open two runs with one
-    # enter_ts) and the driver's value hash is row-order sensitive
+    # the sort key carries every independent output column: (user_id,
+    # enter_ts) alone is not a total order (same-ts events in adjacent
+    # cells open two runs with one enter_ts), and even (.., cell) ties
+    # when a user alternates A,B,A within one timestamp — two distinct
+    # A-runs share (user, enter_ts, cell). With exit_ts and n_points in
+    # the key, rows can only tie by being value-identical, which the
+    # row-order-sensitive driver hash cannot distinguish anyway.
     return (stay_points(_sticky_events(spark, sf_dir), precision=3,
                         min_dwell_s=3600, min_points=2,
                         tiebreak="event_id")
-            .orderBy("user_id", "enter_ts", "cell"))
+            .orderBy("user_id", "enter_ts", "cell", "exit_ts",
+                     "n_points"))
 
 
 def q_trip_stats(spark, sf_dir):
@@ -2144,7 +2149,7 @@ def oracle_sql() -> dict[str, str]:
             + stay_points_sql(f"({_sticky_events_sql()})", precision=3,
                               min_dwell_s=3600, min_points=2,
                               tiebreak="event_id")
-            + ") ORDER BY user_id, enter_ts, cell",
+            + ") ORDER BY user_id, enter_ts, cell, exit_ts, n_points",
         "trip_stats":
             "SELECT * FROM ("
             + trip_stats_sql(

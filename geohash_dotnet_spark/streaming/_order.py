@@ -49,3 +49,38 @@ def tiebreak_projection(
         f"tiebreak column {tiebreak!r} has type {dt.simpleString()}: "
         "lexicographic string ordering diverges from the native ORDER BY "
         "for this type; cast it to long, double, or string upstream")
+
+
+def drop_unorderable(proj: DataFrame, tb_type: str) -> DataFrame:
+    """Drop rows whose position under the (ts_us, tb) total order is
+    undefined: NULL event time, NULL tiebreak, or NaN double tiebreak.
+
+    A NULL integral tiebreak would reach pandas as NaN (Arrow promotes
+    the column to float64) and crash ``state.update`` on ``int(NaN)``;
+    a NaN double tiebreak never satisfies ``tb > saved_tb`` and would
+    silently gate a genuinely-new row as late. Neither row can be
+    ordered against the batch window's ``ORDER BY ts, tiebreak``
+    either, so the stream's contract is explicit: unorderable rows are
+    dropped JVM-side before they reach state. Assign non-null ids
+    upstream if every event must count."""
+    cond = F.col("ts_us").isNotNull() & F.col("tb").isNotNull()
+    if tb_type == "double":
+        cond = cond & ~F.isnan(F.col("tb"))
+    return proj.filter(cond)
+
+
+def sort_and_gate(pdf, saved_pos):
+    """The shared in-UDF half of the ordering contract: sort one
+    micro-batch's pandas rows by (ts_us, tb) — a stable mergesort, the
+    same total order as the batch window's ORDER BY — and drop rows at
+    or before ``saved_pos`` (the per-key saved ``(ts_us, tb)``
+    position) as LATE. Every stateful streaming module routes its
+    batch through here so a gate fix lands in one place."""
+    pdf = pdf.sort_values(["ts_us", "tb"], kind="mergesort")
+    if saved_pos is not None:
+        s_ts, s_tb = saved_pos
+        keep = (pdf["ts_us"].to_numpy() > s_ts) | (
+            (pdf["ts_us"].to_numpy() == s_ts)
+            & (pdf["tb"].to_numpy(dtype=object) > s_tb))
+        pdf = pdf[keep]
+    return pdf

@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 
 from ..functions.native import with_geohash
 from ..operators.text import fp6
-from ._order import tiebreak_projection
+from ._order import (drop_unorderable, sort_and_gate,
+                     tiebreak_projection)
 
 _RAW_SCHEMA = "tile string, day int, n long, days long, s long, ss long"
 
@@ -70,6 +71,7 @@ def streaming_tile_anomaly(spark: SparkSession, source_dir: str,
                     F.unix_micros(tsc).alias("ts_us"),
                     tb_col,
                     F.unix_date(tsc.cast("date")).alias("day"))
+    proj = drop_unorderable(proj, tb_type)
 
     def _empty_out():
         import pandas as pd
@@ -89,16 +91,13 @@ def streaming_tile_anomaly(spark: SparkSession, source_dir: str,
         parts = list(pdfs)
         pdf = pd.concat(parts) if parts else pd.DataFrame(
             columns=["tile", "ts_us", "tb", "day"])
-        pdf = pdf.sort_values(["ts_us", "tb"], kind="mergesort")
         saved = state.get if state.exists else None
         if saved is not None:
             s_day, s_n, days0, s0, ss0, s_ts, s_tb = saved
-            keep = (pdf["ts_us"].to_numpy() > s_ts) | (
-                (pdf["ts_us"].to_numpy() == s_ts)
-                & (pdf["tb"].to_numpy(dtype=object) > s_tb))
-            pdf = pdf[keep]
+            pdf = sort_and_gate(pdf, (s_ts, s_tb))
         else:
             days0 = s0 = ss0 = 0
+            pdf = sort_and_gate(pdf, None)
         if len(pdf) == 0:
             yield _empty_out()
             return

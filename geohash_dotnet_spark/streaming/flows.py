@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.native import with_geohash
-from ._order import tiebreak_projection
+from ._order import (drop_unorderable, sort_and_gate,
+                     tiebreak_projection)
 
 OUT_SCHEMA = ("user string, from_tile string, to_tile string, "
               "move_ts_us long")
@@ -68,6 +69,7 @@ def streaming_tile_flows(spark: SparkSession, source_dir: str, schema: str,
                     .alias("ts_us"),
                     tb_col,
                     F.col("gh").alias("tile"))
+    proj = drop_unorderable(proj, tb_type)
 
     def update(key, pdfs, state: "GroupState"):
         import numpy as np
@@ -76,17 +78,13 @@ def streaming_tile_flows(spark: SparkSession, source_dir: str, schema: str,
         parts = list(pdfs)
         pdf = pd.concat(parts) if parts else pd.DataFrame(
             columns=["user", "ts_us", "tb", "tile"])
-        pdf = pdf.sort_values(["ts_us", "tb"], kind="mergesort")
         prev_tile = None
+        pos = None
         if state.exists:
             lts, ltb, ltile = state.get
             prev_tile = ltile
-            # late rows: strictly before the saved position under the
-            # (ts, tiebreak) total order
-            keep = (pdf["ts_us"].to_numpy() > lts) | (
-                (pdf["ts_us"].to_numpy() == lts)
-                & (pdf["tb"].to_numpy(dtype=object) > ltb))
-            pdf = pdf[keep]
+            pos = (lts, ltb)
+        pdf = sort_and_gate(pdf, pos)
         if len(pdf) == 0:
             yield pd.DataFrame(
                 {"user": pd.Series(dtype=object),

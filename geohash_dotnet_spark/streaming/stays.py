@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.native import with_geohash
-from ._order import tiebreak_projection
+from ._order import (drop_unorderable, sort_and_gate,
+                     tiebreak_projection)
 
 OUT_SCHEMA = ("user string, cell string, enter_ts_us long, "
               "exit_ts_us long, n_points long")
@@ -62,6 +63,7 @@ def streaming_stay_points(spark: SparkSession, source_dir: str,
                     .alias("ts_us"),
                     tb_col,
                     F.col("gh").alias("tile"))
+    proj = drop_unorderable(proj, tb_type)
 
     def _empty_out():
         import pandas as pd
@@ -80,14 +82,12 @@ def streaming_stay_points(spark: SparkSession, source_dir: str,
         parts = list(pdfs)
         pdf = pd.concat(parts) if parts else pd.DataFrame(
             columns=["user", "ts_us", "tb", "tile"])
-        pdf = pdf.sort_values(["ts_us", "tb"], kind="mergesort")
         saved = state.get if state.exists else None
         if saved is not None:
             s_cell, s_enter, s_ts, s_tb, s_n = saved
-            keep = (pdf["ts_us"].to_numpy() > s_ts) | (
-                (pdf["ts_us"].to_numpy() == s_ts)
-                & (pdf["tb"].to_numpy(dtype=object) > s_tb))
-            pdf = pdf[keep]
+            pdf = sort_and_gate(pdf, (s_ts, s_tb))
+        else:
+            pdf = sort_and_gate(pdf, None)
         if len(pdf) == 0:
             yield _empty_out()
             return

@@ -24,8 +24,16 @@ chain operation-for-operation (radians(lat2-lat1)/2 BEFORE the half,
 asin(min(1, sqrt(a))), x/180*pi radians conversion — mirroring
 functions/native.haversine_m so NumPy and JVM evaluate the same
 expression tree) and are quantized to integer millimeters BEFORE
-summation, the batch twin's own discipline. Residual cross-libm wobble
-(~1e-6 m on 1e7-m legs) sits three orders below the mm quantum.
+summation, the batch twin's own discipline. The equality guarantee is
+therefore probabilistic, not absolute: NumPy's libm and the JVM's Math
+intrinsics differ in the last ulps (~1e-6 m observed on 1e7-m legs),
+so a leg whose true value falls within that wobble of a 0.5 mm floor
+boundary CAN quantize one unit apart across platforms. The mm quantum
+puts the boundary three orders of magnitude above the observed wobble
+(a 1e-6 quantum DID flip a unit at sf0.01 — see operators/flows.py),
+which makes a flip vanishingly rare, not impossible; the parity test
+would report it as a one-unit dist_mm diff on an otherwise identical
+row.
 
 State per user: (trip_idx, start_us, last ts_us, last tiebreak,
 last lat, last lon, n_points, mm) — one row. The update fn is
@@ -38,7 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._order import tiebreak_projection
+from ._order import (drop_unorderable, sort_and_gate,
+                     tiebreak_projection)
 
 OUT_SCHEMA = ("user string, trip_idx long, n_points long, "
               "start_us long, end_us long, dist_mm long")
@@ -50,8 +59,8 @@ def _leg_mm(lat1, lon1, lat2, lon2):
     """Integer-mm haversine legs, mirroring functions/native.haversine_m
     operation-for-operation (degree subtraction BEFORE the radians
     conversion, x/180*pi like java.lang.Math.toRadians, asin of the
-    clamped sqrt) so the streamed sums match the batch JVM sums
-    bit-for-bit at the mm quantum."""
+    clamped sqrt) so the streamed sums match the batch JVM sums at the
+    mm quantum (see the module docstring for the cross-libm caveat)."""
     import numpy as np
 
     from ..kernels.distance import EARTH_RADIUS_M
@@ -89,6 +98,7 @@ def streaming_trip_stats(spark: SparkSession, source_dir: str,
                          tb_col,
                          F.col(lat).cast("double").alias("lat"),
                          F.col(lon).cast("double").alias("lon"))
+    proj = drop_unorderable(proj, tb_type)
 
     def _empty_out():
         import pandas as pd
@@ -108,14 +118,12 @@ def streaming_trip_stats(spark: SparkSession, source_dir: str,
         parts = list(pdfs)
         pdf = pd.concat(parts) if parts else pd.DataFrame(
             columns=["user", "ts_us", "tb", "lat", "lon"])
-        pdf = pdf.sort_values(["ts_us", "tb"], kind="mergesort")
         saved = state.get if state.exists else None
         if saved is not None:
             (s_idx, s_start, s_ts, s_tb, s_lat, s_lon, s_n, s_mm) = saved
-            keep = (pdf["ts_us"].to_numpy() > s_ts) | (
-                (pdf["ts_us"].to_numpy() == s_ts)
-                & (pdf["tb"].to_numpy(dtype=object) > s_tb))
-            pdf = pdf[keep]
+            pdf = sort_and_gate(pdf, (s_ts, s_tb))
+        else:
+            pdf = sort_and_gate(pdf, None)
         if len(pdf) == 0:
             yield _empty_out()
             return

@@ -1,4 +1,17 @@
+import os
+import time
+
 import pytest
+
+# Pin the PYTHON process timezone, not just the Spark session one:
+# collect() renders TimestampType as naive datetimes in the driver's
+# local zone (TimestampType.fromInternal), and the streaming parity
+# tests convert those back to epoch micros assuming UTC — on a
+# non-UTC host every expected *_us value would shift by the UTC
+# offset while unix_micros() stays true epoch.
+os.environ["TZ"] = "UTC"
+if hasattr(time, "tzset"):
+    time.tzset()
 
 
 @pytest.fixture(scope="session")

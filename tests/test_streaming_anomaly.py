@@ -138,3 +138,44 @@ def test_streaming_anomaly_moment_fold_exact(spark, tmp_path):
         (dt.date(2024, 1, 1), 2, 1, 2.0, None),
         (dt.date(2024, 1, 2), 1, 2, 1.5, -1.0),
     }
+
+
+def test_streaming_anomaly_null_tiebreak_dropped(spark, tmp_path):
+    """A NULL integral tiebreak has no position under the (ts, tb)
+    total order: Arrow would promote the column to float64/NaN and
+    int(NaN) would kill state.update on every retry. The shared
+    drop_unorderable filter removes the row JVM-side; the rest of the
+    stream proceeds and the null row never counts."""
+    t = lambda d, h: dt.datetime(2024, 1, d, h, 0, 0)
+    loc = (10.0, 10.0)
+    rows = [(1, t(1, 1), *loc), (None, t(1, 2), *loc),
+            (2, t(1, 3), *loc),
+            (3, t(2, 1), *loc)]
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    spark.createDataFrame(rows, SCHEMA).write.parquet(src)
+    _drain(spark, src, ckpt, out)
+    got = {(r["day"], r["n"], r["days"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(dt.date(2024, 1, 1), 2, 1)}
+
+
+def test_streaming_anomaly_nan_double_tiebreak_dropped(spark, tmp_path):
+    """A NaN double tiebreak never satisfies tb > saved_tb and would be
+    silently gated as late across batches; drop_unorderable removes it
+    up front (NaN is unorderable, not late)."""
+    schema_d = "event_id double, ts timestamp, lat double, lon double"
+    t = lambda d, h: dt.datetime(2024, 1, d, h, 0, 0)
+    loc = (10.0, 10.0)
+    rows = [(1.0, t(1, 1), *loc), (float("nan"), t(1, 2), *loc),
+            (2.0, t(1, 3), *loc),
+            (3.0, t(2, 1), *loc)]
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    spark.createDataFrame(rows, schema_d).write.parquet(src)
+    q = (streaming_tile_anomaly(spark, src, schema_d, precision=P)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["day"], r["n"], r["days"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(dt.date(2024, 1, 1), 2, 1)}
