@@ -179,3 +179,26 @@ def test_streaming_anomaly_nan_double_tiebreak_dropped(spark, tmp_path):
     got = {(r["day"], r["n"], r["days"])
            for r in spark.read.parquet(out).collect()}
     assert got == {(dt.date(2024, 1, 1), 2, 1)}
+
+
+def test_streaming_anomaly_three_restarts(spark, sf_small, tmp_path):
+    """Three drains over a 1/3-2/3 quantile split: the per-tile moments
+    (days, s, ss) must fold correctly across TWO restarts — a
+    double-counted or dropped day shifts every later mean/z, so this is
+    the deepest state-evolution check the offline harness can run."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _events(spark, sf_small)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    q1, q2 = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.3333)"),
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.6667)"),
+    ).first()
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    ev.filter(us <= q1).write.parquet(src)
+    _drain(spark, src, ckpt, out)
+    ev.filter((us > q1) & (us <= q2)).write.mode("append").parquet(src)
+    _drain(spark, src, ckpt, out)
+    ev.filter(us > q2).write.mode("append").parquet(src)
+    _drain(spark, src, ckpt, out)
+
+    assert _got(spark, out) == _batch_closed_days(ev)
