@@ -30,9 +30,21 @@ def build_spark(cpus: int):
 
     from geohash_dotnet_spark.session import apply_recommended
 
-    builder = (SparkSession.builder.master(f"local[{cpus}]")
+    # SPARK_GRAFT_MASTER overrides the master URL verbatim — used for the
+    # local-cluster[N,C,MB] control run that separates the single-JVM
+    # memory ceiling from engine coordination (see BENCH.md); the default
+    # driver path is unchanged
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (SparkSession.builder.master(master)
                .appName("geohash-dotnet-spark-bench")
                .config("spark.driver.memory", "16g")
+               .config("spark.executor.memory",
+                       os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g"))
+               # separate-JVM executors (local-cluster control) spawn
+               # their own Python workers: put the repo on their path —
+               # the sandbox stand-in for spark-submit --py-files
+               .config("spark.executorEnv.PYTHONPATH",
+                       os.path.dirname(os.path.abspath(__file__)))
                .config("spark.ui.enabled", "false"))
     return apply_recommended(builder, shuffle_partitions=2 * cpus).getOrCreate()
 
