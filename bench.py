@@ -221,6 +221,21 @@ def main() -> None:
     timed("q10_zonal_stats_p3",
           lambda: zonal_stats(pg, zones, precision=3).collect())
 
+    # q11 (added r5; headline estimator untouched): Hilbert range-shard
+    # histogram over the 5M-point working set — the layout path is a pure
+    # JVM projection (order-8 xy2d unrolled) + one aggregation
+    from geohash_dotnet_spark.operators.layout import hilbert_shards
+    timed("q11_hilbert_shards",
+          lambda: hilbert_shards(pg, order=8, n_shards=64).collect())
+
+    # q12 (added r5; headline estimator untouched): adaptive quadtree
+    # refinement to p4 — one corpus agg + the reused-exchange ladder +
+    # broadcast frontier cascade
+    from geohash_dotnet_spark.operators.adaptive import adaptive_cells
+    timed("q12_adaptive_cells_p4",
+          lambda: adaptive_cells(pg, base_precision=1, max_precision=4,
+                                 threshold=2000).count())
+
     # temporal decorrelation for the two headline queries: a sustained
     # CPU-steal window early in the run inflates all N consecutive
     # samples at once (observed: q1 floor 3.6s in one window vs 0.68s
