@@ -107,11 +107,15 @@ from geohash_dotnet_spark.operators.hotspots import (  # noqa: E402
 from geohash_dotnet_spark.operators.flows import (  # noqa: E402
     stay_points_sql,
     trip_stats_sql,
+    visit_recurrence_sql,
 )
 from geohash_dotnet_spark.operators.lm import (  # noqa: E402
     hashed_linear_score_sql,
 )
-from geohash_dotnet_spark.operators.rollup import time_rollup_sql  # noqa: E402
+from geohash_dotnet_spark.operators.rollup import (  # noqa: E402
+    tile_pyramid_sql,
+    time_rollup_sql,
+)
 from geohash_dotnet_spark.operators.sessions import sessionize_sql  # noqa: E402
 from geohash_dotnet_spark.operators.clustering import (  # noqa: E402
     tile_density_clusters_sql,
@@ -151,7 +155,10 @@ from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     semantic_dedup_sql,
 )
 from geohash_dotnet_spark.operators.adaptive import adaptive_cells_sql  # noqa: E402
-from geohash_dotnet_spark.operators.layout import hilbert_shards_sql  # noqa: E402
+from geohash_dotnet_spark.operators.layout import (  # noqa: E402
+    hilbert_bbox_tiles_sql,
+    hilbert_shards_sql,
+)
 from geohash_dotnet_spark.operators.diversity import (  # noqa: E402
     distance_bands_sql,
     tile_entropy_sql,
@@ -1836,6 +1843,43 @@ def q_distance_bands(spark, sf_dir):
                           band_m=500_000, n_bands=30)
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Web-map tile pyramid: quadkey page counts at every zoom 0..6,
+    each level rolled up from the finer one (exchange-reuse ladder, one
+    corpus scan); the oracle computes every zoom DIRECTLY from raw rows
+    so the quadkey prefix-nesting property is itself value-checked."""
+    from geohash_dotnet_spark.operators.rollup import tile_pyramid
+
+    return tile_pyramid(_pages(spark, sf_dir), max_z=6)
+
+
+def q_visit_recurrence(spark, sf_dir):
+    """Returner-vs-explorer census over sticky home+jitter events: how
+    many (user, p3-cell) relationships span 1, 2, 3... distinct visit
+    days. Three strictly-collapsing aggregations, all-integer."""
+    from geohash_dotnet_spark.operators.flows import visit_recurrence
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return visit_recurrence(_sticky_events(spark, sf_dir), precision=3)
+
+
+# North-America-ish bbox for the curve-range query (antimeridian-free)
+HB_BBOX = (20.0, -130.0, 55.0, -60.0)
+
+
+def q_hilbert_bbox(spark, sf_dir):
+    """Spatial range query through the Hilbert curve index: bbox ->
+    contiguous index ranges (aligned-subtree decomposition) -> exists()
+    range filter -> exact lat/lon refine -> per-p2-tile counts. The
+    oracle is a plain bbox filter with NO curve anywhere, so the range
+    decomposition itself is value-checked (a missing range drops rows
+    and fails the gate)."""
+    from geohash_dotnet_spark.operators.layout import hilbert_bbox_tiles
+
+    return hilbert_bbox_tiles(_pages(spark, sf_dir), *HB_BBOX, order=8,
+                              precision=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1885,9 +1929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
         "circle_join": q_circle_join,
-        "gh_children": q_gh_children,
-        "gh_validity": q_gh_validity,
-        "gh_distance_cells": q_gh_distance_cells,
         "geofence_ring": q_geofence_ring,
         "gh_grid_viewport": q_gh_grid,
         "salted_join": q_salted_join,
@@ -1906,6 +1947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_shards": q_hilbert_shards,
         "tile_entropy": q_tile_entropy,
         "distance_bands": q_distance_bands,
+        "tile_pyramid": q_tile_pyramid,
+        "visit_recurrence": q_visit_recurrence,
+        "hilbert_bbox": q_hilbert_bbox,
         # --- the flagship stays inside the window every round
         "flagship": q_flagship,
         # --- window boundary: 50 keys once the r5 additions fill slots
@@ -1922,6 +1966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_bbox": q_gh_bbox,
         "gh_neighbors": q_gh_neighbors,
         "gh_neighbor": q_gh_neighbor,
+        "gh_children": q_gh_children,
+        "gh_validity": q_gh_validity,
+        "gh_distance_cells": q_gh_distance_cells,
         "vocab_topk": q_vocab_topk,
         "url_canonical_dedup": q_url_canonical_dedup,
         "extract_text": q_extract_text,
@@ -2233,6 +2280,11 @@ def oracle_sql() -> dict[str, str]:
         "tile_entropy": tile_entropy_sql(tagged2, key="lang"),
         "distance_bands": distance_bands_sql(
             pages_sql(REP), 40.0, -100.0, band_m=500_000, n_bands=30),
+        "tile_pyramid": tile_pyramid_sql(pages_sql(REP), max_z=6),
+        "visit_recurrence": visit_recurrence_sql(
+            tagged_select_sql(_sticky_events_sql(), 3,
+                              keep="user_id, ts, event_id, lat, lon")),
+        "hilbert_bbox": hilbert_bbox_tiles_sql(tagged2, *HB_BBOX),
         "dedup_clusters": dedup_clusters_sql(threshold=0.5),
         "latest_snapshot": latest_snapshot_sql(pages_sql(REP)),
         "quadkey_tiles": _quadkey_tiles_sql(),

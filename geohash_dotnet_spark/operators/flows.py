@@ -25,7 +25,8 @@ from ..functions.oracle import tagged_select_sql
 
 __all__ = ["tile_flows", "tile_flows_sql", "user_mobility",
            "user_mobility_sql", "stay_points", "stay_points_sql",
-           "trip_stats", "trip_stats_sql"]
+           "trip_stats", "trip_stats_sql", "visit_recurrence",
+           "visit_recurrence_sql"]
 
 
 def tile_flows(df: DataFrame, user: str = "user_id", ts: str = "ts",
@@ -319,3 +320,44 @@ SELECT {user}, trip_idx, count(*) AS n_points,
 FROM r GROUP BY {user}, trip_idx
 HAVING count(*) >= {min_points}
 """
+
+
+def visit_recurrence(df: DataFrame, user: str = "user_id",
+                     ts: str = "ts", lat: str = "lat", lon: str = "lon",
+                     precision: int = 3) -> DataFrame:
+    """Returner-vs-explorer census: how many (user, place) relationships
+    involve 1, 2, 3, ... distinct DAYS of visits.
+
+    Three collapsing aggregations, each strictly smaller than the last:
+    events -> distinct (user, cell, day) presence (the only
+    corpus-sized exchange, with map-side partial dedup) -> per
+    (user, cell) distinct-day counts -> the recurrence histogram.
+    All-integer output.
+
+    -> (n_days int, n_user_cells long, n_users long): n_user_cells =
+    how many (user, cell) pairs were visited on exactly n_days distinct
+    days; n_users = distinct users among them.
+    """
+    pg = with_geohash(df, lat, lon, precision, out="__cell")
+    presence = (pg.select(F.col(user).alias("u"), F.col("__cell").alias("c"),
+                          F.to_date(F.col(ts)).alias("d"))
+                .distinct())
+    per_uc = (presence.groupBy("u", "c")
+              .agg(F.count(F.lit(1)).alias("n_days")))
+    return (per_uc.groupBy(F.col("n_days").cast("int").alias("n_days"))
+            .agg(F.count(F.lit(1)).alias("n_user_cells"),
+                 F.countDistinct("u").alias("n_users")))
+
+
+def visit_recurrence_sql(tagged_inner: str, user: str = "user_id",
+                         ts: str = "ts") -> str:
+    """DuckDB twin — independent formulation: per-(user, cell)
+    count(DISTINCT day) directly, no intermediate presence dedup.
+    ``tagged_inner`` must expose ``gh``, ``user`` and ``ts``."""
+    return (
+        f"WITH uc AS (SELECT {user} AS u, gh AS c, "
+        f"CAST(count(DISTINCT CAST({ts} AS DATE)) AS INT) AS n_days "
+        f"FROM ({tagged_inner}) GROUP BY 1, 2) "
+        f"SELECT n_days, CAST(count(*) AS BIGINT) AS n_user_cells, "
+        f"CAST(count(DISTINCT u) AS BIGINT) AS n_users "
+        f"FROM uc GROUP BY n_days")

@@ -25,7 +25,7 @@ column is the write-side layout hook.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.native import (_grid_index_col, clamp_latitude,
@@ -33,7 +33,9 @@ from ..functions.native import (_grid_index_col, clamp_latitude,
 from ..functions.oracle import clamp_lat_sql, grid_index_sql, normalize_lon_sql
 
 __all__ = ["with_hilbert", "hilbert_shards", "hilbert_select_sql",
-           "hilbert_shards_sql"]
+           "hilbert_shards_sql", "hilbert_ranges_for_bbox",
+           "hilbert_bbox_tiles", "hilbert_bbox_tiles_sql",
+           "hilbert_range_predicate"]
 
 
 def with_hilbert(df: DataFrame, lat: str = "lat", lon: str = "lon",
@@ -44,39 +46,49 @@ def with_hilbert(df: DataFrame, lat: str = "lat", lon: str = "lon",
     Classic xy2d: walk bit-planes MSB-first, accumulate the quadrant
     digit, rotate/reflect the frame (Hilbert 1891; the bit formulation
     follows the public-domain Wikipedia reference implementation).
-    Each iteration is staged as its own Project so the expression tree
-    stays linear in ``order`` (same staging trick as with_geohash).
+
+    The loop is a single JVM ``aggregate()`` fold over a
+    struct(x, y, d) accumulator — ONE expression of size O(order).
+    Staged per-iteration projections (the with_geohash trick) are a
+    trap here: each xy2d step references the previous x and y several
+    times, so when CollapseProject inlines the stages — and it always
+    does for filters, which PushDownPredicate substitutes through
+    every Project — the tree grows ~5x per bit plane, ~5^order nodes:
+    at order 8 that is a ~400k-node predicate that OOMs the optimizer.
+    The fold keeps every downstream reference to ``out`` linear.
     """
     if not (1 <= order <= 16):
         raise ValueError(f"order must be in [1, 16], got {order}")
     n = 1 << order
-    df = df.withColumns({
-        "__hlat": clamp_latitude(F.col(lat).cast("double")),
-        "__hlon": normalize_longitude(F.col(lon).cast("double")),
-    }).withColumns({
-        "__hy": _grid_index_col(F.col("__hlat"), -90.0, 180.0 / n, n),
-        "__hx": _grid_index_col(F.col("__hlon"), -180.0, 360.0 / n, n),
-        "__hd": F.lit(0).cast("long"),
-    })
-    for i in range(order - 1, -1, -1):
-        s = 1 << i
-        rx = F.shiftright(F.col("__hx"), i).bitwiseAND(F.lit(1))
-        ry = F.shiftright(F.col("__hy"), i).bitwiseAND(F.lit(1))
-        d2 = (F.col("__hd")
-              + F.lit(s * s).cast("long")
-              * ((rx * F.lit(3)).bitwiseXOR(ry)).cast("long"))
+    x0 = _grid_index_col(normalize_longitude(F.col(lon).cast("double")),
+                         -180.0, 360.0 / n, n)
+    y0 = _grid_index_col(clamp_latitude(F.col(lat).cast("double")),
+                         -90.0, 180.0 / n, n)
+    # s = 2^i looked up from a literal array (shift functions need a
+    # Python-int bit count, but i is a lambda variable); bit i of v is
+    # the portable (v % 2s) >= s test — longs stay longs throughout
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(order)])
+
+    def step(acc, i):
+        s = F.element_at(powers, (i + F.lit(1)).cast("int"))
+        ax, ay, ad = acc["x"], acc["y"], acc["d"]
+        rx = F.when(ax % (s * 2) >= s, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(ay % (s * 2) >= s, F.lit(1)).otherwise(F.lit(0))
+        d2 = ad + s * s * ((rx * F.lit(3)).bitwiseXOR(ry)).cast("long")
         # rot: if ry==0 { if rx==1 reflect both; swap x,y }
-        fx = F.when(rx == F.lit(1),
-                    F.lit(n - 1) - F.col("__hx")).otherwise(F.col("__hx"))
-        fy = F.when(rx == F.lit(1),
-                    F.lit(n - 1) - F.col("__hy")).otherwise(F.col("__hy"))
-        df = df.withColumns({
-            "__hd": d2,
-            "__hx": F.when(ry == F.lit(0), fy).otherwise(F.col("__hx")),
-            "__hy": F.when(ry == F.lit(0), fx).otherwise(F.col("__hy")),
-        })
-    return (df.withColumn(out, F.col("__hd"))
-            .drop("__hlat", "__hlon", "__hx", "__hy", "__hd"))
+        fx = F.when(rx == F.lit(1), F.lit(n - 1) - ax).otherwise(ax)
+        fy = F.when(rx == F.lit(1), F.lit(n - 1) - ay).otherwise(ay)
+        return F.struct(
+            F.when(ry == F.lit(0), fy).otherwise(ax).alias("x"),
+            F.when(ry == F.lit(0), fx).otherwise(ay).alias("y"),
+            d2.alias("d"))
+
+    fold = F.aggregate(
+        F.sequence(F.lit(order - 1), F.lit(0), F.lit(-1)),
+        F.struct(x0.alias("x"), y0.alias("y"),
+                 F.lit(0).cast("long").alias("d")),
+        step)
+    return df.withColumn(out, fold["d"])
 
 
 def hilbert_shards(df: DataFrame, lat: str = "lat", lon: str = "lon",
@@ -96,10 +108,16 @@ def hilbert_shards(df: DataFrame, lat: str = "lat", lon: str = "lon",
         raise ValueError("order/n_shards too large for exact double math")
     total = 4 ** order
     hd = with_hilbert(df, lat, lon, order, out="__hd_s")
+    # two-level aggregation instead of countDistinct: the per-cell agg
+    # collapses the corpus map-side to <= 4^order rows per task before
+    # the ONLY exchange (countDistinct would Expand to 2x corpus rows
+    # first); the shard rollup then runs on <= 4^order rows total
+    cells = (hd.groupBy("__hd_s")
+             .agg(F.count(F.lit(1)).alias("__n")))
     shard = F.floor(F.col("__hd_s") * F.lit(n_shards) / F.lit(total))
-    return (hd.groupBy(shard.cast("int").alias("shard"))
-            .agg(F.count(F.lit(1)).alias("n_pages"),
-                 F.countDistinct("__hd_s").alias("n_cells")))
+    return (cells.groupBy(shard.cast("int").alias("shard"))
+            .agg(F.sum("__n").alias("n_pages"),
+                 F.count(F.lit(1)).alias("n_cells")))
 
 
 def hilbert_select_sql(inner_sql: str, order: int = 8, lat: str = "lat",
@@ -145,3 +163,161 @@ def hilbert_shards_sql(inner_sql: str, order: int = 8, lat: str = "lat",
             f"AS shard, CAST(count(*) AS BIGINT) AS n_pages, "
             f"CAST(count(DISTINCT hd) AS BIGINT) AS n_cells "
             f"FROM ({hsql}) GROUP BY 1")
+
+
+def _xy2d_scalar(n: int, x: int, y: int) -> int:
+    """Driver-side scalar xy2d (same state machine as with_hilbert)."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_ranges_for_bbox(min_lat: float, min_lon: float,
+                            max_lat: float, max_lon: float,
+                            order: int = 8,
+                            max_ranges: int = 64) -> list[tuple[int, int]]:
+    """Decompose a lat/lon bbox into contiguous Hilbert-index ranges
+    whose cells form a SUPERSET of the bbox — the scan-pruning key set
+    for a table laid out by :func:`with_hilbert`.
+
+    Quadrant descent over grid-aligned squares: every power-of-two
+    aligned square IS a Hilbert subtree, so its cells occupy one
+    contiguous index interval [m*s*s, (m+1)*s*s - 1] — the base is
+    recovered from ANY member cell by flooring xy2d to the subtree
+    size, no orientation bookkeeping needed. Squares fully inside the
+    grid bbox emit their whole interval; straddlers split into four;
+    singles emit at order. Adjacent intervals merge; if the merged
+    list still exceeds ``max_ranges``, coarser straddlers are emitted
+    whole (superset stays valid — the exact lat/lon refine downstream
+    restores precision).
+
+    The bbox must not cross the antimeridian — split it first
+    (kernels/polygon.py:split_antimeridian) like every other covering
+    operator in this engine.
+    """
+    import numpy as np
+
+    from ..kernels.geohash import _grid_index, clamp_latitude, \
+        normalize_longitude
+
+    if not (min_lat <= max_lat and min_lon <= max_lon):
+        raise ValueError("bbox must satisfy min <= max on both axes")
+    if not (1 <= order <= 16):
+        raise ValueError(f"order must be in [1, 16], got {order}")
+    n = 1 << order
+
+    def gi(v, lo, step):
+        return int(_grid_index(np.asarray([v], dtype=np.float64),
+                               lo, step, n)[0])
+
+    la0 = float(clamp_latitude(np.float64(min_lat)))
+    la1 = float(clamp_latitude(np.float64(max_lat)))
+    lo0 = float(normalize_longitude(np.float64(min_lon)))
+    lo1 = float(normalize_longitude(np.float64(max_lon)))
+    if lo1 < lo0:
+        raise ValueError("bbox crosses the antimeridian; split it first")
+    y0, y1 = gi(la0, -90.0, 180.0 / n), gi(la1, -90.0, 180.0 / n)
+    x0, x1 = gi(lo0, -180.0, 360.0 / n), gi(lo1, -180.0, 360.0 / n)
+
+    out: list[tuple[int, int]] = []
+    stack = [(0, 0, n)]
+    while stack:
+        qx, qy, s = stack.pop()
+        if qx > x1 or qx + s - 1 < x0 or qy > y1 or qy + s - 1 < y0:
+            continue  # disjoint
+        inside = (qx >= x0 and qx + s - 1 <= x1
+                  and qy >= y0 and qy + s - 1 <= y1)
+        if inside or s == 1 or len(out) + len(stack) >= max_ranges:
+            d = _xy2d_scalar(n, qx, qy)
+            base = (d // (s * s)) * (s * s)
+            out.append((base, base + s * s - 1))
+        else:
+            h = s // 2
+            stack.extend([(qx, qy, h), (qx + h, qy, h),
+                          (qx, qy + h, h), (qx + h, qy + h, h)])
+    out.sort()
+    merged = [out[0]]
+    for lo, hi in out[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def hilbert_bbox_tiles(df: DataFrame, min_lat: float, min_lon: float,
+                       max_lat: float, max_lon: float, order: int = 8,
+                       precision: int = 2, lat: str = "lat",
+                       lon: str = "lon") -> DataFrame:
+    """Spatial range query THROUGH the curve index: keep rows whose
+    Hilbert index falls in the bbox's range covering, exact-refine on
+    the raw coordinates, aggregate per geohash tile.
+
+    At 100 TB this is the pruned-scan path: on a table written
+    range-partitioned/sorted by ``hd``, the range disjunction reaches
+    the parquet reader as min/max-prunable predicates (plan-asserted in
+    tests), so only shard files overlapping the bbox are read at all.
+    The exact refine makes the covering's slack invisible in results.
+
+    -> (tile string, n_pages long); the DuckDB twin is an INDEPENDENT
+    plain lat/lon bbox filter with no curve anywhere, so the range
+    decomposition itself is value-checked.
+    """
+    ranges = hilbert_ranges_for_bbox(min_lat, min_lon, max_lat, max_lon,
+                                     order)
+    hd = with_hilbert(df, lat, lon, order, out="__hd_q")
+    # membership via exists() over a LITERAL range array: exactly ONE
+    # reference to the computed index column. An OR-of-BETWEENs here
+    # would make CollapseProject inline the whole staged xy2d chain
+    # once per comparison (2x per range) — an exponential expression
+    # blowup that OOMs the optimizer. The BETWEEN form is for STORED
+    # index columns, where it pushes down (hilbert_range_predicate).
+    rarr = F.array(*[F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
+                     for lo, hi in ranges])
+    refined = (hd.filter(F.exists(rarr, lambda r: (F.col("__hd_q") >= r.lo)
+                                  & (F.col("__hd_q") <= r.hi)))
+               .filter((F.col(lat) >= F.lit(float(min_lat)))
+                       & (F.col(lat) <= F.lit(float(max_lat)))
+                       & (F.col(lon) >= F.lit(float(min_lon)))
+                       & (F.col(lon) <= F.lit(float(max_lon)))))
+    from ..functions.native import with_geohash
+    return (with_geohash(refined, lat, lon, precision, out="__tile")
+            .groupBy(F.col("__tile").alias("tile"))
+            .agg(F.count(F.lit(1)).alias("n_pages")))
+
+
+def hilbert_bbox_tiles_sql(tagged_inner: str, min_lat: float,
+                           min_lon: float, max_lat: float,
+                           max_lon: float, lat: str = "lat",
+                           lon: str = "lon") -> str:
+    """INDEPENDENT DuckDB oracle: direct bbox filter + tile group — no
+    Hilbert anywhere. ``tagged_inner`` must expose ``gh`` at the same
+    precision plus raw lat/lon."""
+    return (f"SELECT gh AS tile, CAST(count(*) AS BIGINT) AS n_pages "
+            f"FROM ({tagged_inner}) "
+            f"WHERE {lat} >= {float(min_lat)!r} AND {lat} <= {float(max_lat)!r} "
+            f"AND {lon} >= {float(min_lon)!r} AND {lon} <= {float(max_lon)!r} "
+            f"GROUP BY 1")
+
+
+def hilbert_range_predicate(col: Column, ranges: list[tuple[int, int]]):
+    """OR-of-BETWEENs over a STORED Hilbert index column — the form the
+    parquet reader can push down for min/max row-group and file pruning
+    on a curve-sorted layout. Use only on materialized columns: on a
+    computed index the projection collapse duplicates the xy2d chain
+    per comparison (see hilbert_bbox_tiles)."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    cond = None
+    for lo, hi in ranges:
+        c = col.between(F.lit(int(lo)), F.lit(int(hi)))
+        cond = c if cond is None else (cond | c)
+    return cond

@@ -26,7 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup"]
+__all__ = ["time_rollup", "time_rollup_sql", "tile_pyramid",
+           "tile_pyramid_sql"]
 
 
 def time_rollup(df: DataFrame, ts: str = "ts", value: str = "value",
@@ -65,4 +66,61 @@ def time_rollup_sql(inner: str, ts: str = "ts", value: str = "value",
          f"FROM ({inner}) GROUP BY 2")
         for lv in levels
     ]
+    return " UNION ALL ".join(parts)
+
+
+def tile_pyramid(df, lat: str = "lat", lon: str = "lon",
+                 max_z: int = 8) -> DataFrame:
+    """Web-map tile pyramid: page counts per quadkey at EVERY zoom
+    0..max_z, each coarser zoom aggregated from the next finer one
+    (the spatial analogue of :func:`time_rollup` — same exchange-reuse
+    ladder, corpus scanned once).
+
+    Valid because quadkeys nest dyadically: the zoom-z quadkey is the
+    length-z prefix of the zoom-max_z quadkey (tile_x floors a scaled
+    longitude, so x_z = x_maxz >> (max_z - z); the portable y boundary
+    table at zoom z is a subset of zoom z+1's). The DuckDB twin
+    verifies exactly that: it computes every zoom DIRECTLY from the
+    raw rows with that zoom's own x/y/quadkey math, so prefix-rollup
+    equalling direct-assignment is part of the check.
+
+    -> (z int, quadkey string, n_pages long); zoom 0 is the one-row
+    grand total with quadkey ''.
+    """
+    from ..functions.tiles import with_tiles
+
+    if not (1 <= max_z <= 20):
+        raise ValueError(f"max_z must be in [1, 20], got {max_z}")
+    t = with_tiles(df, lat, lon, z=max_z)
+    cur = t.groupBy("quadkey").agg(F.count(F.lit(1)).alias("n_pages"))
+    out = cur.select(F.lit(max_z).cast("int").alias("z"), "quadkey",
+                     "n_pages")
+    for z in range(max_z - 1, -1, -1):
+        cur = (cur.groupBy(F.substring("quadkey", 1, z).alias("quadkey"))
+               .agg(F.sum("n_pages").alias("n_pages")))
+        out = out.unionByName(
+            cur.select(F.lit(z).cast("int").alias("z"), "quadkey",
+                       "n_pages"))
+    return out
+
+
+def tile_pyramid_sql(inner: str, lat: str = "lat", lon: str = "lon",
+                     max_z: int = 8) -> str:
+    """DuckDB twin of :func:`tile_pyramid`: every zoom computed
+    DIRECTLY from the raw rows (independent of the prefix-rollup
+    formulation)."""
+    from ..functions.tiles import (quadkey_sql, tile_x_sql,
+                                   tile_y_portable_sql)
+
+    parts = []
+    for z in range(max_z, -1, -1):
+        if z == 0:
+            qk = "''"
+        else:
+            qk = quadkey_sql(f"({tile_x_sql(lon, z)})",
+                             f"({tile_y_portable_sql(lat, z)})", z)
+        parts.append(
+            f"SELECT CAST({z} AS INT) AS z, {qk} AS quadkey, "
+            f"CAST(count(*) AS BIGINT) AS n_pages FROM ({inner}) "
+            f"GROUP BY 2")
     return " UNION ALL ".join(parts)

@@ -99,13 +99,15 @@ def test_window_boundary():
         "minhash_pairs", "simhash_pairs", "token_stats",
         "winnow_fingerprints", "repetition_stats", "boilerplate_stats",
         "stratified_sample", "pii_scrub", "curation_pipeline",
-        # NOTE: gh_decode / gh_bbox / gh_neighbors / gh_neighbor were
-        # displaced from the window by the second batch of r5 operators
-        # (adaptive_cells, hilbert_shards, tile_entropy, distance_bands):
+        # NOTE: gh_decode / gh_bbox / gh_neighbors / gh_neighbor /
+        # gh_children / gh_validity / gh_distance_cells were displaced
+        # from the window by the second and third batches of r5
+        # operators (adaptive_cells, hilbert_shards, tile_entropy,
+        # distance_bands, tile_pyramid, visit_recurrence, hilbert_bbox):
         # they are thin wrappers over kernels pinned by reference goldens
         # and hypothesis round-trips (test_kernel_geohash.py), so they
         # are the lowest-risk keys to leave on an r3-green row.
-        "circle_join", "gh_children", "gh_validity", "gh_distance_cells",
+        "circle_join",
         "geofence_ring", "gh_grid_viewport", "salted_join",
         "tile_counts_p2", "tile_rollup", "spatial_join_rect", "knn",
         "knn_table",
@@ -125,4 +127,5 @@ def test_window_boundary():
 NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
              "minhash_incremental", "classifier_scores",
              "adaptive_cells", "hilbert_shards", "tile_entropy",
-             "distance_bands"}
+             "distance_bands", "tile_pyramid", "visit_recurrence",
+             "hilbert_bbox"}

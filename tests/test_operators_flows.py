@@ -181,3 +181,40 @@ def test_stay_trip_single_exchange_plan(spark):
         plan = op()._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
         assert plan.count("Sort ") == 1
+
+
+def test_visit_recurrence_known_histogram(spark):
+    """Hand-built diary: user 1 visits cell A on 3 distinct days and
+    cell B once; user 2 visits A on 2 days (one day twice — still one
+    distinct day)."""
+    from geohash_dotnet_spark.operators.flows import visit_recurrence
+
+    A = (40.0, -100.0)
+    B = (-30.0, 20.0)
+    rows = [
+        (1, datetime(2024, 1, 1, 8), *A), (1, datetime(2024, 1, 2, 9), *A),
+        (1, datetime(2024, 1, 5, 7), *A), (1, datetime(2024, 1, 1, 12), *B),
+        (2, datetime(2024, 1, 1, 8), *A), (2, datetime(2024, 1, 3, 8), *A),
+        (2, datetime(2024, 1, 3, 21), *A),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, lat double, lon double")
+    out = {r["n_days"]: (r["n_user_cells"], r["n_users"])
+           for r in visit_recurrence(df).collect()}
+    assert out == {1: (1, 1),   # user1 x B
+                   2: (1, 1),   # user2 x A (day 3 collapses)
+                   3: (1, 1)}   # user1 x A
+
+
+def test_visit_recurrence_accounting(spark, sf_small):
+    """sum(n_user_cells) == #distinct (user, cell) pairs."""
+    import __spark_entry__ as E
+    from geohash_dotnet_spark.functions.native import with_geohash
+    from geohash_dotnet_spark.operators.flows import visit_recurrence
+
+    ev = E._sticky_events(spark, sf_small)
+    out = visit_recurrence(ev).collect()
+    n_pairs = (with_geohash(ev, "lat", "lon", 3, out="c")
+               .select("user_id", "c").distinct().count())
+    assert sum(r["n_user_cells"] for r in out) == n_pairs
+    assert all(r["n_users"] <= r["n_user_cells"] for r in out)

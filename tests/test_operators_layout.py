@@ -102,3 +102,108 @@ def test_index_is_python_free_single_scan(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("Scan parquet") == 1  # matches "FileScan parquet" too
+
+
+def test_bbox_ranges_cover_exactly(spark):
+    """Range decomposition properties at order 5 (exhaustive): sorted,
+    disjoint, non-adjacent after merge, and the covered cell set is
+    EXACTLY the grid-bbox rectangle (aligned subtrees add no slack
+    beyond the cell quantization itself)."""
+    from geohash_dotnet_spark.operators.layout import (
+        hilbert_ranges_for_bbox)
+
+    order, n = 5, 32
+    bbox = (10.0, -50.0, 47.0, 33.0)
+    ranges = hilbert_ranges_for_bbox(*bbox, order=order, max_ranges=10**9)
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert l1 <= h1 and h1 + 1 < l2  # sorted, disjoint, merged
+    covered = {d for lo, hi in ranges for d in range(lo, hi + 1)}
+    # expected: the grid rectangle of the bbox
+    import numpy as np
+
+    from geohash_dotnet_spark.kernels.geohash import _grid_index
+
+    def gi(v, lo, step):
+        return int(_grid_index(np.asarray([v]), lo, step, n)[0])
+
+    y0, y1 = gi(bbox[0], -90.0, 180.0 / n), gi(bbox[2], -90.0, 180.0 / n)
+    x0, x1 = gi(bbox[1], -180.0, 360.0 / n), gi(bbox[3], -180.0, 360.0 / n)
+    expected = {_xy2d(n, x, y) for x in range(x0, x1 + 1)
+                for y in range(y0, y1 + 1)}
+    assert covered == expected
+
+
+def test_bbox_ranges_cap_is_superset(spark):
+    """With a tight max_ranges the decomposition coarsens but must stay
+    a superset of the exact covering."""
+    from geohash_dotnet_spark.operators.layout import (
+        hilbert_ranges_for_bbox)
+
+    bbox = (10.0, -50.0, 47.0, 33.0)
+    exact = {d for lo, hi in
+             hilbert_ranges_for_bbox(*bbox, order=6, max_ranges=10**9)
+             for d in range(lo, hi + 1)}
+    capped_ranges = hilbert_ranges_for_bbox(*bbox, order=6, max_ranges=4)
+    capped = {d for lo, hi in capped_ranges for d in range(lo, hi + 1)}
+    assert exact <= capped
+
+
+def test_bbox_ranges_validation():
+    from geohash_dotnet_spark.operators.layout import (
+        hilbert_ranges_for_bbox)
+
+    with pytest.raises(ValueError):
+        hilbert_ranges_for_bbox(10.0, 5.0, 0.0, 6.0)  # min_lat > max_lat
+    with pytest.raises(ValueError):
+        hilbert_ranges_for_bbox(0.0, 170.0, 10.0, -170.0)  # antimeridian
+    with pytest.raises(ValueError):
+        hilbert_ranges_for_bbox(0.0, 0.0, 1.0, 1.0, order=0)
+
+
+def test_bbox_tiles_equal_direct_filter(spark):
+    """The curve-range path returns EXACTLY the plain bbox filter's
+    tiles (superset covering + exact refine)."""
+    from pyspark.sql import functions as F
+
+    from geohash_dotnet_spark.functions.native import with_geohash
+    from geohash_dotnet_spark.operators.layout import hilbert_bbox_tiles
+
+    pg = pages(spark, SF)
+    bbox = (20.0, -130.0, 55.0, -60.0)
+    got = {(r["tile"], r["n_pages"]) for r in
+           hilbert_bbox_tiles(pg, *bbox, order=8, precision=2).collect()}
+    direct = (pg.filter((F.col("lat") >= bbox[0]) & (F.col("lat") <= bbox[2])
+                        & (F.col("lon") >= bbox[1])
+                        & (F.col("lon") <= bbox[3])))
+    exp = {(r["gh"], r["count"]) for r in
+           with_geohash(direct, "lat", "lon", 2)
+           .groupBy("gh").count().collect()}
+    assert got == exp and got
+
+
+def test_range_predicate_pushes_to_parquet(spark, tmp_path):
+    """On a STORED curve-sorted layout the range disjunction reaches
+    the parquet reader as min/max-prunable pushed filters — the 100 TB
+    pruned-scan path."""
+    from pyspark.sql import functions as F
+
+    from geohash_dotnet_spark.operators.layout import (
+        hilbert_range_predicate, hilbert_ranges_for_bbox, with_hilbert)
+
+    path = str(tmp_path / "hd_sorted")
+    (with_hilbert(pages(spark, SF), order=8)
+     .select("url", "lat", "lon", "hd")
+     .repartitionByRange(4, F.col("hd"))
+     .sortWithinPartitions("hd")
+     .write.parquet(path))
+    ranges = hilbert_ranges_for_bbox(20.0, -130.0, 55.0, -60.0, order=8)
+    tbl = spark.read.parquet(path)
+    q = tbl.filter(hilbert_range_predicate(F.col("hd"), ranges))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "hd" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0], (
+        "hd range disjunction did not reach the parquet scan")
+    # and the filtered read is still exact
+    lo, hi = ranges[0]
+    assert (q.filter((F.col("hd") >= lo) & (F.col("hd") <= hi)).count()
+            == tbl.filter((F.col("hd") >= lo) & (F.col("hd") <= hi)).count())

@@ -50,3 +50,62 @@ def test_rollup_reuses_exchanges_single_scan(spark, sf_small):
     final = plan.split("Initial Plan")[0]
     assert final.count("ReusedExchange") == 2
     assert final.count("Scan parquet") + final.count("FileScan") <= 2
+
+
+def test_tile_pyramid_known_values(spark):
+    """Four points in known quadrants: zoom-1 quadkeys and the zoom-0
+    grand total, plus level cardinalities at deeper zooms."""
+    from geohash_dotnet_spark.operators.rollup import tile_pyramid
+
+    rows = [(40.0, -100.0), (45.0, -90.0),   # NW quadrant -> quadkey '0'
+            (40.0, 100.0),                   # NE -> '1'
+            (-40.0, -100.0)]                 # SW -> '2'
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    out = tile_pyramid(df, max_z=3)
+    z1 = {r["quadkey"]: r["n_pages"] for r in
+          out.filter(F.col("z") == 1).collect()}
+    assert z1 == {"0": 2, "1": 1, "2": 1}
+    z0 = out.filter(F.col("z") == 0).collect()
+    assert len(z0) == 1 and z0[0]["quadkey"] == "" and z0[0]["n_pages"] == 4
+    # every zoom's counts sum to the corpus
+    for z in range(4):
+        assert sum(r["n_pages"] for r in
+                   out.filter(F.col("z") == z).collect()) == 4
+
+
+def test_tile_pyramid_matches_direct_assignment(spark, sf_small):
+    """Prefix rollup == direct per-zoom assignment (the nesting
+    property the oracle also checks)."""
+    from geohash_dotnet_spark.functions.tiles import with_tiles
+    from geohash_dotnet_spark.operators.rollup import tile_pyramid
+    from geohash_dotnet_spark.sources.pages import pages
+
+    pg = pages(spark, sf_small)
+    out = {(r["z"], r["quadkey"]): r["n_pages"]
+           for r in tile_pyramid(pg, max_z=5).collect()}
+    for z in (1, 3, 5):
+        direct = {(z, r["quadkey"]): r["count"] for r in
+                  with_tiles(pg, z=z).groupBy("quadkey").count().collect()}
+        assert {k: v for k, v in out.items() if k[0] == z} == direct
+
+
+def test_tile_pyramid_reuses_exchanges_single_scan(spark, sf_small):
+    from geohash_dotnet_spark.operators.rollup import tile_pyramid
+    from geohash_dotnet_spark.sources.pages import pages
+
+    spark.catalog.clearCache()
+    r = tile_pyramid(pages(spark, sf_small), max_z=4)
+    r.collect()
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("ReusedExchange") >= 3  # zooms 3..0 reuse below
+    assert final.count("Scan parquet") == 1
+
+
+def test_tile_pyramid_validation():
+    from geohash_dotnet_spark.operators.rollup import tile_pyramid
+
+    with pytest.raises(ValueError):
+        tile_pyramid(None, max_z=0)
+    with pytest.raises(ValueError):
+        tile_pyramid(None, max_z=21)
