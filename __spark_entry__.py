@@ -130,6 +130,7 @@ from geohash_dotnet_spark.operators.tracks import (  # noqa: E402
 )
 from geohash_dotnet_spark.operators.colocation import (  # noqa: E402
     cotravel_pairs_sql,
+    place_profile_pairs_sql,
 )
 from geohash_dotnet_spark.operators.index import (  # noqa: E402
     bm25_topk_sql,
@@ -1880,6 +1881,18 @@ def q_hilbert_bbox(spark, sf_dir):
                               precision=2)
 
 
+def q_place_profiles(spark, sf_dir):
+    """Similar-users-by-place-profile: pairs whose visited-p2-cell sets
+    have Jaccard >= 0.2 (crowd cells excluded by the admission guard).
+    Inverted-index pair generation vs the oracle's independent
+    quadratic list-intersection formulation."""
+    from geohash_dotnet_spark.operators.colocation import (
+        place_profile_pairs)
+
+    return place_profile_pairs(_sticky_events(spark, sf_dir), precision=2,
+                               threshold=0.2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1931,7 +1944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circle_join": q_circle_join,
         "geofence_ring": q_geofence_ring,
         "gh_grid_viewport": q_gh_grid,
-        "salted_join": q_salted_join,
         "tile_counts_p2": q_tile_counts_p2,
         "tile_rollup": q_tile_rollup,
         "spatial_join_rect": q_spatial_join_rect,
@@ -1950,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "visit_recurrence": q_visit_recurrence,
         "hilbert_bbox": q_hilbert_bbox,
+        "place_profiles": q_place_profiles,
         # --- the flagship stays inside the window every round
         "flagship": q_flagship,
         # --- window boundary: 50 keys once the r5 additions fill slots
@@ -1969,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_children": q_gh_children,
         "gh_validity": q_gh_validity,
         "gh_distance_cells": q_gh_distance_cells,
+        "salted_join": q_salted_join,
         "vocab_topk": q_vocab_topk,
         "url_canonical_dedup": q_url_canonical_dedup,
         "extract_text": q_extract_text,
@@ -2285,6 +2299,10 @@ def oracle_sql() -> dict[str, str]:
             tagged_select_sql(_sticky_events_sql(), 3,
                               keep="user_id, ts, event_id, lat, lon")),
         "hilbert_bbox": hilbert_bbox_tiles_sql(tagged2, *HB_BBOX),
+        "place_profiles": place_profile_pairs_sql(
+            tagged_select_sql(_sticky_events_sql(), 2,
+                              keep="user_id, ts, event_id, lat, lon"),
+            threshold=0.2),
         "dedup_clusters": dedup_clusters_sql(threshold=0.5),
         "latest_snapshot": latest_snapshot_sql(pages_sql(REP)),
         "quadkey_tiles": _quadkey_tiles_sql(),

@@ -46,7 +46,8 @@ from pyspark.sql import functions as F
 from ..functions.native import with_geohash
 from ..functions.oracle import tagged_select_sql
 
-__all__ = ["cotravel_pairs", "cotravel_pairs_sql"]
+__all__ = ["cotravel_pairs", "cotravel_pairs_sql",
+           "place_profile_pairs", "place_profile_pairs_sql"]
 
 
 def cotravel_pairs(df: DataFrame, user: str = "user_id", ts: str = "ts",
@@ -126,3 +127,88 @@ FROM adm a JOIN adm b ON a.tile = b.tile AND a.bucket = b.bucket
 GROUP BY a.u, b.u
 HAVING count(*) >= {min_cobuckets}
 """
+
+
+def place_profile_pairs(df: DataFrame, user: str = "user_id",
+                        lat: str = "lat", lon: str = "lon",
+                        precision: int = 3, threshold: float = 0.25,
+                        max_cell_users: int = 200) -> DataFrame:
+    """Similar-users-by-place-profile: pairs whose VISITED-CELL SETS
+    (no time dimension) have Jaccard similarity >= ``threshold``.
+
+    The account-correlation complement of :func:`cotravel_pairs`: two
+    accounts operated from the same handful of places look alike here
+    even when never online simultaneously.
+
+    Same scale discipline as co-travel: events collapse to distinct
+    (user, cell) presence first; cells with more than
+    ``max_cell_users`` distinct visitors are excluded from BOTH the
+    pairing and the profile sizes (ubiquitous places carry no identity
+    signal and are exactly the quadratic cells) — the admission guard
+    makes the semantics "Jaccard over non-crowd cells", which the
+    oracle replicates. The threshold test is exact integer arithmetic:
+    keep iff n_common * 10^6 >= round(threshold * 10^6) * n_union.
+
+    -> (user_a, user_b, n_common, n_a, n_b, jaccard) with user_a <
+    user_b; jaccard = n_common / (n_a + n_b - n_common), an exact
+    small-integer IEEE division (identical cross-engine, no fp6
+    needed).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_cell_users < 2:
+        raise ValueError("max_cell_users must be >= 2 (pairs need 2)")
+    g = with_geohash(df, lat, lon, precision)
+    presence = (g.select(F.col(user).alias("u"), F.col("gh").alias("c"))
+                .distinct())
+    ok = (presence.groupBy("c")
+          .agg(F.count(F.lit(1)).alias("__k"))
+          .filter(F.col("__k") <= max_cell_users)
+          .select("c"))
+    adm = presence.join(ok, "c")
+    sizes = adm.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    a = adm.select("c", F.col("u").alias("user_a"))
+    b = adm.select("c", F.col("u").alias("user_b"))
+    common = (a.join(b, "c").filter(F.col("user_a") < F.col("user_b"))
+              .groupBy("user_a", "user_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    thr_us = int(round(float(threshold) * 1_000_000))
+    out = (common
+           .join(sizes.select(F.col("u").alias("user_a"),
+                              F.col("n").alias("n_a")), "user_a")
+           .join(sizes.select(F.col("u").alias("user_b"),
+                              F.col("n").alias("n_b")), "user_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return (out.filter(F.col("n_common") * F.lit(1_000_000)
+                       >= F.lit(thr_us) * union)
+            .select("user_a", "user_b", "n_common", "n_a", "n_b",
+                    (F.col("n_common").cast("double")
+                     / union.cast("double")).alias("jaccard")))
+
+
+def place_profile_pairs_sql(tagged_inner: str, user: str = "user_id",
+                            threshold: float = 0.25,
+                            max_cell_users: int = 200) -> str:
+    """DuckDB twin — INDEPENDENT list-algebra formulation: per-user
+    sorted cell lists, quadratic user-pair cross join, list
+    intersection length (no inverted index anywhere). ``tagged_inner``
+    must expose ``gh`` and the user column."""
+    thr_us = int(round(float(threshold) * 1_000_000))
+    return (
+        f"WITH pres AS (SELECT DISTINCT {user} AS u, gh AS c "
+        f"FROM ({tagged_inner})), "
+        f"ok AS (SELECT c FROM pres GROUP BY c "
+        f"HAVING count(*) <= {int(max_cell_users)}), "
+        f"adm AS (SELECT u, pres.c FROM pres JOIN ok ON pres.c = ok.c), "
+        f"prof AS (SELECT u, list_sort(list(c)) AS cells, "
+        f"CAST(count(*) AS BIGINT) AS n FROM adm GROUP BY u) "
+        f"SELECT p1.u AS user_a, p2.u AS user_b, "
+        f"CAST(len(list_intersect(p1.cells, p2.cells)) AS BIGINT) "
+        f"AS n_common, p1.n AS n_a, p2.n AS n_b, "
+        f"CAST(len(list_intersect(p1.cells, p2.cells)) AS DOUBLE) "
+        f"/ (p1.n + p2.n - len(list_intersect(p1.cells, p2.cells))) "
+        f"AS jaccard "
+        f"FROM prof p1 JOIN prof p2 ON p1.u < p2.u "
+        f"WHERE len(list_intersect(p1.cells, p2.cells)) * 1000000 "
+        f">= {thr_us} * (p1.n + p2.n - len(list_intersect(p1.cells, "
+        f"p2.cells)))")

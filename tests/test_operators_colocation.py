@@ -97,3 +97,69 @@ def test_param_validation(spark):
         cotravel_pairs(df, min_cobuckets=0)
     with pytest.raises(ValueError):
         cotravel_pairs(df, max_cell_users=1)
+
+
+def test_place_profiles_known_jaccard(spark):
+    """Hand-built profiles (p3 cells ~1.4 deg; coordinates placed in
+    distinct cells): u1={A,B,C}, u2={A,B,D}, u3={E}.
+    J(u1,u2)=2/4=0.5, u3 shares nothing."""
+    from geohash_dotnet_spark.operators.colocation import (
+        place_profile_pairs)
+
+    A, B, C, D, E = ((10.0, 10.0), (10.0, 20.0), (10.0, 30.0),
+                     (10.0, 40.0), (-50.0, -120.0))
+    rows = ([(1, *p) for p in (A, B, C)] + [(2, *p) for p in (A, B, D)]
+            + [(3, *E)])
+    df = spark.createDataFrame(rows, "user_id long, lat double, lon double")
+    out = place_profile_pairs(df, precision=3, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_a"], r["user_b"]) == (1, 2)
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert r["jaccard"] == 0.5
+    # threshold just above 0.5 excludes the pair (integer boundary test)
+    assert not place_profile_pairs(df, precision=3,
+                                   threshold=0.500001).collect()
+
+
+def test_place_profiles_crowd_cell_excluded(spark):
+    """A cell visited by more than max_cell_users contributes to
+    neither pairing nor profile sizes."""
+    from geohash_dotnet_spark.operators.colocation import (
+        place_profile_pairs)
+
+    HOT = (0.0, 0.0)
+    A, B = (10.0, 10.0), (10.0, 20.0)
+    rows = ([(u, *HOT) for u in range(1, 8)]          # 7 users in HOT
+            + [(1, *A), (1, *B), (2, *A), (2, *B)])
+    df = spark.createDataFrame(rows, "user_id long, lat double, lon double")
+    out = place_profile_pairs(df, precision=3, threshold=0.9,
+                              max_cell_users=3).collect()
+    # HOT dropped: u1={A,B}, u2={A,B} -> J=1.0; all other users have
+    # empty profiles and appear in no pair
+    assert [(r["user_a"], r["user_b"], r["n_common"], r["jaccard"])
+            for r in out] == [(1, 2, 2, 1.0)]
+
+
+def test_place_profiles_duplicates_collapse(spark):
+    """Repeated visits to the same cell count once (set semantics)."""
+    from geohash_dotnet_spark.operators.colocation import (
+        place_profile_pairs)
+
+    A = (10.0, 10.0)
+    rows = [(1, *A)] * 50 + [(2, *A)]
+    df = spark.createDataFrame(rows, "user_id long, lat double, lon double")
+    out = place_profile_pairs(df, precision=3, threshold=0.5).collect()
+    assert [(r["n_common"], r["n_a"], r["n_b"]) for r in out] == [(1, 1, 1)]
+
+
+def test_place_profiles_validation(spark):
+    from geohash_dotnet_spark.operators.colocation import (
+        place_profile_pairs)
+
+    with pytest.raises(ValueError):
+        place_profile_pairs(None, threshold=0.0)
+    with pytest.raises(ValueError):
+        place_profile_pairs(None, threshold=1.5)
+    with pytest.raises(ValueError):
+        place_profile_pairs(None, max_cell_users=1)
