@@ -105,6 +105,7 @@ from geohash_dotnet_spark.operators.hotspots import (  # noqa: E402
     moran_i_sql,
 )
 from geohash_dotnet_spark.operators.flows import (  # noqa: E402
+    bearing_rose_sql,
     stay_points_sql,
     trip_stats_sql,
     visit_recurrence_sql,
@@ -1893,6 +1894,16 @@ def q_place_profiles(spark, sf_dir):
                                threshold=0.2)
 
 
+def q_bearing_rose(spark, sf_dir):
+    """Compass rose of movement: initial great-circle bearings of
+    consecutive per-user moves in 8 sectors (one user-keyed window
+    exchange, then an 8-group aggregation)."""
+    from geohash_dotnet_spark.operators.flows import bearing_rose
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bearing_rose(_sticky_events(spark, sf_dir), tiebreak="event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1942,7 +1953,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
         "circle_join": q_circle_join,
-        "geofence_ring": q_geofence_ring,
         "gh_grid_viewport": q_gh_grid,
         "tile_counts_p2": q_tile_counts_p2,
         "tile_rollup": q_tile_rollup,
@@ -1963,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "visit_recurrence": q_visit_recurrence,
         "hilbert_bbox": q_hilbert_bbox,
         "place_profiles": q_place_profiles,
+        "bearing_rose": q_bearing_rose,
         # --- the flagship stays inside the window every round
         "flagship": q_flagship,
         # --- window boundary: 50 keys once the r5 additions fill slots
@@ -1983,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_validity": q_gh_validity,
         "gh_distance_cells": q_gh_distance_cells,
         "salted_join": q_salted_join,
+        "geofence_ring": q_geofence_ring,
         "vocab_topk": q_vocab_topk,
         "url_canonical_dedup": q_url_canonical_dedup,
         "extract_text": q_extract_text,
@@ -2303,6 +2315,8 @@ def oracle_sql() -> dict[str, str]:
             tagged_select_sql(_sticky_events_sql(), 2,
                               keep="user_id, ts, event_id, lat, lon"),
             threshold=0.2),
+        "bearing_rose": bearing_rose_sql(_sticky_events_sql(),
+                                         tiebreak="event_id"),
         "dedup_clusters": dedup_clusters_sql(threshold=0.5),
         "latest_snapshot": latest_snapshot_sql(pages_sql(REP)),
         "quadkey_tiles": _quadkey_tiles_sql(),

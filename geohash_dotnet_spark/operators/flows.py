@@ -26,7 +26,7 @@ from ..functions.oracle import tagged_select_sql
 __all__ = ["tile_flows", "tile_flows_sql", "user_mobility",
            "user_mobility_sql", "stay_points", "stay_points_sql",
            "trip_stats", "trip_stats_sql", "visit_recurrence",
-           "visit_recurrence_sql"]
+           "visit_recurrence_sql", "bearing_rose", "bearing_rose_sql"]
 
 
 def tile_flows(df: DataFrame, user: str = "user_id", ts: str = "ts",
@@ -361,3 +361,72 @@ def visit_recurrence_sql(tagged_inner: str, user: str = "user_id",
         f"SELECT n_days, CAST(count(*) AS BIGINT) AS n_user_cells, "
         f"CAST(count(DISTINCT u) AS BIGINT) AS n_users "
         f"FROM uc GROUP BY n_days")
+
+
+def bearing_rose(df: DataFrame, user: str = "user_id", ts: str = "ts",
+                 lat: str = "lat", lon: str = "lon",
+                 tiebreak: str | None = None) -> DataFrame:
+    """Compass rose of movement: initial great-circle bearings of
+    consecutive per-user moves, bucketed into the 8 compass sectors
+    (0=N 45-degree wedges, clockwise). The direction-bias census that
+    complements tile_flows' where-to-where matrix.
+
+    Stationary pairs (exactly equal coordinates — a deterministic,
+    trig-free test) are dropped: their bearing is undefined.
+
+    One user-keyed window exchange (shared shape with tile_flows),
+    then an 8-group aggregation. The bearing uses the standard
+    forward-azimuth formula; both engines evaluate the identical IEEE
+    expression tree, and sector edges at 45-degree multiples are hit
+    by synthetic data with probability ~0 (same risk class as every
+    haversine threshold in this engine).
+
+    -> (sector int, n_moves long, n_users long).
+    """
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(user).orderBy(*order)
+    g = (df.withColumn("__plat", F.lag(F.col(lat).cast("double")).over(w))
+         .withColumn("__plon", F.lag(F.col(lon).cast("double")).over(w)))
+    mv = g.filter(F.col("__plat").isNotNull()
+                  & ((F.col("__plat") != F.col(lat))
+                     | (F.col("__plon") != F.col(lon))))
+    dlam = F.radians(F.col(lon) - F.col("__plon"))
+    y = F.sin(dlam) * F.cos(F.radians(F.col(lat)))
+    x = (F.cos(F.radians(F.col("__plat"))) * F.sin(F.radians(F.col(lat)))
+         - F.sin(F.radians(F.col("__plat"))) * F.cos(F.radians(F.col(lat)))
+         * F.cos(dlam))
+    deg = F.degrees(F.atan2(y, x))
+    sector = F.least(F.floor(F.pmod(deg + F.lit(360.0), F.lit(360.0))
+                             / F.lit(45.0)), F.lit(7))
+    return (mv.groupBy(sector.cast("int").alias("sector"))
+            .agg(F.count(F.lit(1)).alias("n_moves"),
+                 F.countDistinct(user).alias("n_users")))
+
+
+def bearing_rose_sql(inner: str, user: str = "user_id", ts: str = "ts",
+                     lat: str = "lat", lon: str = "lon",
+                     tiebreak: str | None = None) -> str:
+    """DuckDB twin of :func:`bearing_rose` — the identical IEEE
+    expression tree over the same lag window."""
+    order = f"{ts}" + (f", {tiebreak}" if tiebreak else "")
+    dlam = f"radians({lon} - plon)"
+    y = f"sin({dlam}) * cos(radians({lat}))"
+    x = (f"cos(radians(plat)) * sin(radians({lat})) "
+         f"- sin(radians(plat)) * cos(radians({lat})) * cos({dlam})")
+    deg = f"degrees(atan2({y}, {x}))"
+    sector = (f"CAST(least(floor(((({deg}) + 360.0) % 360.0 + 360.0) "
+              f"% 360.0 / 45.0), 7) AS INT)")
+    return f"""
+WITH l AS (
+  SELECT {user}, {lat}, {lon},
+         lag(CAST({lat} AS DOUBLE)) OVER (PARTITION BY {user} ORDER BY {order}) AS plat,
+         lag(CAST({lon} AS DOUBLE)) OVER (PARTITION BY {user} ORDER BY {order}) AS plon
+  FROM ({inner})
+)
+SELECT {sector} AS sector, CAST(count(*) AS BIGINT) AS n_moves,
+       CAST(count(DISTINCT {user}) AS BIGINT) AS n_users
+FROM l WHERE plat IS NOT NULL AND (plat <> {lat} OR plon <> {lon})
+GROUP BY 1
+"""

@@ -108,11 +108,13 @@ def test_window_boundary():
         # and hypothesis round-trips (test_kernel_geohash.py), so they
         # are the lowest-risk keys to leave on an r3-green row.
         "circle_join",
-        # NOTE: salted_join was displaced by place_profiles (r5 batch
-        # 3): r3-green, unchanged, and its salting row-invariance +
-        # no-big-side-shuffle plan shapes are pinned in
-        # test_operators_spark / test_plan_shapes.
-        "geofence_ring", "gh_grid_viewport",
+        # NOTE: salted_join / geofence_ring were displaced by
+        # place_profiles / bearing_rose (r5 batch 3): r3-green,
+        # unchanged; salting row-invariance + no-big-side-shuffle plan
+        # shapes are pinned in test_operators_spark / test_plan_shapes,
+        # and geofence_ring derives purely from the golden-pinned
+        # cover_polygon sets.
+        "gh_grid_viewport",
         "tile_counts_p2", "tile_rollup", "spatial_join_rect", "knn",
         "knn_table",
         # the flagship is re-checked every round
@@ -132,4 +134,4 @@ NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
              "minhash_incremental", "classifier_scores",
              "adaptive_cells", "hilbert_shards", "tile_entropy",
              "distance_bands", "tile_pyramid", "visit_recurrence",
-             "hilbert_bbox", "place_profiles"}
+             "hilbert_bbox", "place_profiles", "bearing_rose"}

@@ -218,3 +218,49 @@ def test_visit_recurrence_accounting(spark, sf_small):
                .select("user_id", "c").distinct().count())
     assert sum(r["n_user_cells"] for r in out) == n_pairs
     assert all(r["n_users"] <= r["n_user_cells"] for r in out)
+
+
+def test_bearing_rose_known_compass(spark):
+    """Hand-built moves off exact sector edges: NNE (sector 0), ENE
+    (1), ESE (2... careful: sectors are 45-degree wedges from north,
+    clockwise: 0=[0,45), 1=[45,90), 2=[90,135), ...)."""
+    from geohash_dotnet_spark.operators.flows import bearing_rose
+
+    def mv(uid, t, la, lo):
+        return (uid, datetime(2024, 1, 1, 0, t), la, lo)
+
+    rows = [
+        # user 1: due-north move -> bearing 0 -> sector 0
+        mv(1, 0, 0.0, 0.0), mv(1, 1, 1.0, 0.0),
+        # user 2: northeast-ish (dlat 1, dlon 0.5) -> ~26.6 deg -> 0
+        mv(2, 0, 0.0, 0.0), mv(2, 1, 1.0, 0.5),
+        # user 3: east-ish but south of 90 is avoided: (dlat 0.5, dlon 1)
+        # -> ~63.4 deg -> sector 1
+        mv(3, 0, 0.0, 0.0), mv(3, 1, 0.5, 1.0),
+        # user 4: south-ish (dlat -1, dlon 0.5) -> ~153 deg -> sector 3
+        mv(4, 0, 0.0, 0.0), mv(4, 1, -1.0, 0.5),
+        # user 5: west-ish (dlat 0.5, dlon -1) -> ~-63 deg = 297 -> 6
+        mv(5, 0, 0.0, 0.0), mv(5, 1, 0.5, -1.0),
+        # user 6: stationary pair -> dropped
+        mv(6, 0, 10.0, 10.0), mv(6, 1, 10.0, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, lat double, lon double")
+    out = {r["sector"]: (r["n_moves"], r["n_users"])
+           for r in bearing_rose(df).collect()}
+    assert out == {0: (2, 2), 1: (1, 1), 3: (1, 1), 6: (1, 1)}
+
+
+def test_bearing_rose_accounting(spark, sf_small):
+    """Moves partition into sectors: sum(n_moves) == #non-stationary
+    consecutive pairs; sectors in 0..7."""
+    import __spark_entry__ as E
+    from geohash_dotnet_spark.operators.flows import bearing_rose
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = E._sticky_events(spark, sf_small)
+    out = bearing_rose(ev, tiebreak="event_id").collect()
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_moves"] for r in out) == n_events - n_users
+    assert all(0 <= r["sector"] <= 7 for r in out)
