@@ -14,19 +14,24 @@ geohash-prefix layout (DataBricks Z-ORDER / Delta liquid clustering
 rationale; here with the curve one better).
 
 Everything is exact integer bit arithmetic (the classic xy2d state
-machine, unrolled ``order`` times into staged JVM column expressions —
-no UDFs), so the DuckDB twin matches bit-for-bit.
+machine), so the vectorized NumPy kernel (the default execution
+path), the JVM fold expression (the Python-free option) and the
+DuckDB chained-subquery twin all match bit-for-bit — cross-checked in
+tests.
 
 Scale notes: the index is a pure projection (zero shuffles, zero
-joins, whole-stage codegen); the shard histogram below is one
-partial+final aggregation. ``repartitionByRange(out)`` on the index
-column is the write-side layout hook.
+joins); the shard histogram below is one partial+final aggregation.
+``repartitionByRange(out)`` on the index column is the write-side
+layout hook.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.native import (_grid_index_col, clamp_latitude,
                                 normalize_longitude)
@@ -39,7 +44,8 @@ __all__ = ["with_hilbert", "hilbert_shards", "hilbert_select_sql",
 
 
 def with_hilbert(df: DataFrame, lat: str = "lat", lon: str = "lon",
-                 order: int = 8, out: str = "hd") -> DataFrame:
+                 order: int = 8, out: str = "hd",
+                 method: str = "arrow") -> DataFrame:
     """Add the Hilbert index ``out`` (long, in [0, 4^order)) of each
     point on the 2^order x 2^order grid.
 
@@ -47,19 +53,51 @@ def with_hilbert(df: DataFrame, lat: str = "lat", lon: str = "lon",
     digit, rotate/reflect the frame (Hilbert 1891; the bit formulation
     follows the public-domain Wikipedia reference implementation).
 
-    The loop is a single JVM ``aggregate()`` fold over a
-    struct(x, y, d) accumulator — ONE expression of size O(order).
-    Staged per-iteration projections (the with_geohash trick) are a
-    trap here: each xy2d step references the previous x and y several
-    times, so when CollapseProject inlines the stages — and it always
-    does for filters, which PushDownPredicate substitutes through
-    every Project — the tree grows ~5x per bit plane, ~5^order nodes:
-    at order 8 that is a ~400k-node predicate that OOMs the optimizer.
-    The fold keeps every downstream reference to ``out`` linear.
+    ``method`` picks the execution strategy — both are exact int64 and
+    bit-identical (cross-checked in tests):
+
+    - ``"arrow"`` (default): vectorized NumPy kernel
+      (kernels/hilbert.py) behind an Arrow pandas UDF — ~10 array ops
+      per bit plane, the fast path (~3.4x the fold at 5M rows); the
+      same execution class as the decode/bbox/neighbors UDFs.
+    - ``"expr"``: a single JVM ``aggregate()`` fold over a
+      struct(x, y, d) accumulator — zero Python anywhere, ONE
+      expression of size O(order); slower (the lambda body is
+      interpreted per row) but keeps separate-JVM executors free of
+      Python workers.
+
+    Why neither is a staged per-iteration projection (the
+    with_geohash trick): each xy2d step references the previous x and
+    y several times, so when CollapseProject inlines the stages — and
+    PushDownPredicate ALWAYS substitutes filter predicates through
+    Projects — the tree grows ~5x per bit plane, ~5^order nodes: at
+    order 8 a ~400k-node predicate that OOMs the optimizer. Both
+    surviving forms are single opaque-ish expressions, so every
+    downstream reference to ``out`` stays linear.
     """
     if not (1 <= order <= 16):
         raise ValueError(f"order must be in [1, 16], got {order}")
+    if method not in ("arrow", "expr"):
+        raise ValueError(f"method must be 'arrow' or 'expr', got {method}")
     n = 1 << order
+
+    if method == "arrow":
+        from ..kernels.geohash import _grid_index
+        from ..kernels.geohash import clamp_latitude as k_clamp
+        from ..kernels.geohash import normalize_longitude as k_norm
+        from ..kernels.hilbert import xy2d
+
+        @pandas_udf("long")
+        def _hd(la: pd.Series, lo: pd.Series) -> pd.Series:
+            lav = k_clamp(la.to_numpy(dtype=np.float64))
+            lov = k_norm(lo.to_numpy(dtype=np.float64))
+            yi = _grid_index(lav, -90.0, 180.0 / n, n)
+            xi = _grid_index(lov, -180.0, 360.0 / n, n)
+            return pd.Series(xy2d(order, xi, yi))
+
+        return df.withColumn(out, _hd(F.col(lat).cast("double"),
+                                      F.col(lon).cast("double")))
+
     x0 = _grid_index_col(normalize_longitude(F.col(lon).cast("double")),
                          -180.0, 360.0 / n, n)
     y0 = _grid_index_col(clamp_latitude(F.col(lat).cast("double")),

@@ -35,11 +35,13 @@ def _grid_df(spark, order: int):
 
 def test_matches_reference_and_is_a_bijection(spark):
     order, n = 3, 8
-    got = {(r["x"], r["y"]): r["hd"]
-           for r in with_hilbert(_grid_df(spark, order), order=order).collect()}
     ref = {(x, y): _xy2d(n, x, y) for x in range(n) for y in range(n)}
-    assert got == ref
-    assert sorted(got.values()) == list(range(n * n))
+    for method in ("arrow", "expr"):
+        got = {(r["x"], r["y"]): r["hd"]
+               for r in with_hilbert(_grid_df(spark, order), order=order,
+                                     method=method).collect()}
+        assert got == ref, f"method={method}"
+        assert sorted(got.values()) == list(range(n * n))
 
 
 def test_consecutive_cells_are_edge_adjacent(spark):
@@ -93,15 +95,29 @@ def test_validation(spark):
         hilbert_shards(None, n_shards=0)
 
 
-def test_index_is_python_free_single_scan(spark):
-    """The Hilbert index is staged JVM column math: no Python/Arrow
-    eval nodes anywhere, one scan, one aggregate exchange."""
+def test_index_default_is_arrow_single_scan(spark):
+    """Default (arrow) path: the vectorized kernel rides one
+    ArrowEvalPython node — never per-row Python — over a single
+    scan."""
     spark.catalog.clearCache()  # cached-pages substitution hides the scan
     out = hilbert_shards(pages(spark, SF), order=8, n_shards=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
     assert plan.count("Scan parquet") == 1  # matches "FileScan parquet" too
+
+
+def test_index_expr_method_is_python_free(spark):
+    """method='expr': zero Python anywhere in the plan (the option for
+    Python-worker-free executors), same values as arrow (bijection
+    test covers value equality)."""
+    spark.catalog.clearCache()
+    out = (with_hilbert(pages(spark, SF), order=8, method="expr")
+           .groupBy("hd").count())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
 
 
 def test_bbox_ranges_cover_exactly(spark):
