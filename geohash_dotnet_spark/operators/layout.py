@@ -250,6 +250,8 @@ def hilbert_ranges_for_bbox(min_lat: float, min_lon: float,
         raise ValueError("bbox must satisfy min <= max on both axes")
     if not (1 <= order <= 16):
         raise ValueError(f"order must be in [1, 16], got {order}")
+    if max_ranges < 1:
+        raise ValueError(f"max_ranges must be >= 1, got {max_ranges}")
     n = 1 << order
 
     def gi(v, lo, step):
