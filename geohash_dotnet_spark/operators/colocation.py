@@ -156,6 +156,10 @@ def place_profile_pairs(df: DataFrame, user: str = "user_id",
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if int(round(float(threshold) * 1_000_000)) < 1:
+        raise ValueError(
+            f"threshold {threshold} rounds to 0 in the micro-unit "
+            f"integer test (minimum expressible threshold is 1e-6)")
     if max_cell_users < 2:
         raise ValueError("max_cell_users must be >= 2 (pairs need 2)")
     g = with_geohash(df, lat, lon, precision)

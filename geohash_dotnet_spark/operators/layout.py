@@ -188,7 +188,13 @@ def hilbert_select_sql(inner_sql: str, order: int = 8, lat: str = "lat",
                f"CASE WHEN {ry} = 0 THEN {fx} ELSE {py} END AS {ny} "
                f"FROM ({cur})")
         px, py, pd = nx, ny, nd
-    return f"SELECT {keep}, {pd} AS {out} FROM ({cur})"
+    # EXCLUDE (DuckDB syntax — this IS the DuckDB twin) strips the
+    # 3*(order+1)+2 working columns so the twin adds exactly one column
+    # like with_hilbert does
+    helpers = ["__hlat", "__hlon"] + [
+        f"__h{a}{i}" for i in range(order + 1) for a in ("x", "y", "d")]
+    return (f"SELECT * EXCLUDE ({', '.join(helpers)}), {pd} AS {out} "
+            f"FROM ({cur})")
 
 
 def hilbert_shards_sql(inner_sql: str, order: int = 8, lat: str = "lat",
@@ -204,18 +210,13 @@ def hilbert_shards_sql(inner_sql: str, order: int = 8, lat: str = "lat",
 
 
 def _xy2d_scalar(n: int, x: int, y: int) -> int:
-    """Driver-side scalar xy2d (same state machine as with_hilbert)."""
-    d, s = 0, n // 2
-    while s > 0:
-        rx = 1 if (x & s) > 0 else 0
-        ry = 1 if (y & s) > 0 else 0
-        d += s * s * ((3 * rx) ^ ry)
-        if ry == 0:
-            if rx == 1:
-                x, y = n - 1 - x, n - 1 - y
-            x, y = y, x
-        s //= 2
-    return d
+    """Driver-side scalar wrapper over the ONE xy2d implementation
+    (kernels/hilbert.py) — no third copy of the state machine."""
+    from ..kernels.hilbert import xy2d
+
+    return int(xy2d(n.bit_length() - 1,
+                    np.asarray([x], dtype=np.int64),
+                    np.asarray([y], dtype=np.int64))[0])
 
 
 def hilbert_ranges_for_bbox(min_lat: float, min_lon: float,
@@ -243,11 +244,15 @@ def hilbert_ranges_for_bbox(min_lat: float, min_lon: float,
     """
     import numpy as np
 
-    from ..kernels.geohash import _grid_index, clamp_latitude, \
-        normalize_longitude
+    from ..kernels.geohash import _grid_index, clamp_latitude
 
     if not (min_lat <= max_lat and min_lon <= max_lon):
         raise ValueError("bbox must satisfy min <= max on both axes")
+    if min_lon < -180.0 or max_lon > 180.0:
+        raise ValueError(
+            "bbox longitudes must be in canonical [-180, 180]; a bbox "
+            "crossing the antimeridian must be split first "
+            "(kernels/polygon.py:split_antimeridian)")
     if not (1 <= order <= 16):
         raise ValueError(f"order must be in [1, 16], got {order}")
     if max_ranges < 1:
@@ -260,29 +265,37 @@ def hilbert_ranges_for_bbox(min_lat: float, min_lon: float,
 
     la0 = float(clamp_latitude(np.float64(min_lat)))
     la1 = float(clamp_latitude(np.float64(max_lat)))
-    lo0 = float(normalize_longitude(np.float64(min_lon)))
-    lo1 = float(normalize_longitude(np.float64(max_lon)))
-    if lo1 < lo0:
-        raise ValueError("bbox crosses the antimeridian; split it first")
     y0, y1 = gi(la0, -90.0, 180.0 / n), gi(la1, -90.0, 180.0 / n)
-    x0, x1 = gi(lo0, -180.0, 360.0 / n), gi(lo1, -180.0, 360.0 / n)
+    # x intervals in grid columns. lon normalization wraps +180 onto
+    # -180 (column 0), so a bbox edge AT the antimeridian covers both
+    # the last column run and column 0 — emit two column intervals
+    # rather than mis-normalizing the edge.
+    x_ivals = []
+    x0 = gi(min_lon if min_lon < 180.0 else -180.0, -180.0, 360.0 / n)
+    if max_lon == 180.0:
+        x_ivals.append((x0, n - 1))
+        if x0 > 0:
+            x_ivals.append((0, 0))  # points at exactly lon=180
+    else:
+        x_ivals.append((x0, gi(max_lon, -180.0, 360.0 / n)))
 
     out: list[tuple[int, int]] = []
-    stack = [(0, 0, n)]
-    while stack:
-        qx, qy, s = stack.pop()
-        if qx > x1 or qx + s - 1 < x0 or qy > y1 or qy + s - 1 < y0:
-            continue  # disjoint
-        inside = (qx >= x0 and qx + s - 1 <= x1
-                  and qy >= y0 and qy + s - 1 <= y1)
-        if inside or s == 1 or len(out) + len(stack) >= max_ranges:
-            d = _xy2d_scalar(n, qx, qy)
-            base = (d // (s * s)) * (s * s)
-            out.append((base, base + s * s - 1))
-        else:
-            h = s // 2
-            stack.extend([(qx, qy, h), (qx + h, qy, h),
-                          (qx, qy + h, h), (qx + h, qy + h, h)])
+    for xa, xb in x_ivals:
+        stack = [(0, 0, n)]
+        while stack:
+            qx, qy, s = stack.pop()
+            if qx > xb or qx + s - 1 < xa or qy > y1 or qy + s - 1 < y0:
+                continue  # disjoint
+            inside = (qx >= xa and qx + s - 1 <= xb
+                      and qy >= y0 and qy + s - 1 <= y1)
+            if inside or s == 1 or len(out) + len(stack) >= max_ranges:
+                d = _xy2d_scalar(n, qx, qy)
+                base = (d // (s * s)) * (s * s)
+                out.append((base, base + s * s - 1))
+            else:
+                h = s // 2
+                stack.extend([(qx, qy, h), (qx + h, qy, h),
+                              (qx, qy + h, h), (qx + h, qy + h, h)])
     out.sort()
     merged = [out[0]]
     for lo, hi in out[1:]:

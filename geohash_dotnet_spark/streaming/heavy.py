@@ -60,8 +60,14 @@ def streaming_tile_heavy_hitters(spark: SparkSession, source_dir: str,
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     g = with_geohash(stream, lat, lon, precision)
-    proj = g.select(F.col("gh").alias("tile"),
-                    F.col(key).cast("string").alias("key"))
+    # NULL keys are excluded from the sketch AND from n_total (filtered
+    # JVM-side, stated contract): pandas groupby would silently drop
+    # them from counts while still inflating n_total, corrupting the
+    # err <= N/capacity bound, and a None key breaks the deterministic
+    # (count, key) ordering.
+    proj = (g.select(F.col("gh").alias("tile"),
+                     F.col(key).cast("string").alias("key"))
+            .filter(F.col("key").isNotNull()))
 
     def update(kt, pdfs, state: "GroupState"):
         import pandas as pd

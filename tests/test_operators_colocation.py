@@ -163,3 +163,17 @@ def test_place_profiles_validation(spark):
         place_profile_pairs(None, threshold=1.5)
     with pytest.raises(ValueError):
         place_profile_pairs(None, max_cell_users=1)
+
+
+def test_place_profiles_threshold_below_micro_unit(spark):
+    """A threshold that rounds to 0 in the exact micro-unit integer
+    comparison (thr_us = 0 admits EVERY pair) is rejected up front."""
+    from geohash_dotnet_spark.operators.colocation import (
+        place_profile_pairs)
+
+    with pytest.raises(ValueError, match="micro-unit"):
+        place_profile_pairs(None, threshold=1e-9)
+    # 1e-6 is the smallest expressible threshold and must be accepted
+    # (validation only — df=None never reaches the plan builder here)
+    with pytest.raises(AttributeError):
+        place_profile_pairs(None, threshold=1e-6)

@@ -223,3 +223,86 @@ def test_range_predicate_pushes_to_parquet(spark, tmp_path):
     lo, hi = ranges[0]
     assert (q.filter((F.col("hd") >= lo) & (F.col("hd") <= hi)).count()
             == tbl.filter((F.col("hd") >= lo) & (F.col("hd") <= hi)).count())
+
+
+def test_bbox_ranges_antimeridian_edge():
+    """max_lon == 180.0: longitude normalization wraps +180 onto column
+    0, so the covering must include BOTH the trailing column run and
+    column 0 (for points at exactly lon=180) — two column intervals,
+    not a mis-normalized empty one."""
+    import numpy as np
+
+    from geohash_dotnet_spark.kernels.geohash import _grid_index
+    from geohash_dotnet_spark.operators.layout import (
+        hilbert_ranges_for_bbox)
+
+    order, n = 4, 16
+    ranges = hilbert_ranges_for_bbox(-10.0, 150.0, 10.0, 180.0,
+                                     order=order, max_ranges=10**9)
+
+    def gi(v, lo, step):
+        return int(_grid_index(np.asarray([v]), lo, step, n)[0])
+
+    y0, y1 = gi(-10.0, -90.0, 180.0 / n), gi(10.0, -90.0, 180.0 / n)
+    x0 = gi(150.0, -180.0, 360.0 / n)
+    expected = {_xy2d(n, x, y)
+                for x in list(range(x0, n)) + [0]
+                for y in range(y0, y1 + 1)}
+    covered = {d for lo, hi in ranges for d in range(lo, hi + 1)}
+    assert covered == expected
+
+
+def test_bbox_ranges_full_longitude_span():
+    """The whole-planet bbox collapses to the single root range (and
+    the max_lon=180 edge adds no duplicate column-0 interval when the
+    run already starts at column 0)."""
+    from geohash_dotnet_spark.operators.layout import (
+        hilbert_ranges_for_bbox)
+
+    order, n = 3, 8
+    ranges = hilbert_ranges_for_bbox(-90.0, -180.0, 90.0, 180.0,
+                                     order=order, max_ranges=10**9)
+    assert ranges == [(0, n * n - 1)]
+
+
+def test_bbox_ranges_rejects_noncanonical_lons():
+    """Out-of-range longitudes raise instead of being silently
+    normalized (a wrapped bbox is a different rectangle)."""
+    from geohash_dotnet_spark.operators.layout import (
+        hilbert_ranges_for_bbox)
+
+    with pytest.raises(ValueError):
+        hilbert_ranges_for_bbox(0.0, -190.0, 1.0, 0.0)
+    with pytest.raises(ValueError):
+        hilbert_ranges_for_bbox(0.0, 0.0, 1.0, 190.0)
+
+
+def test_xy2d_scalar_delegates_to_kernel():
+    """The driver-side scalar wrapper returns the kernel xy2d values —
+    one state machine, not a third copy (exhaustive at order 4)."""
+    from geohash_dotnet_spark.operators.layout import _xy2d_scalar
+
+    n = 16
+    for x in range(n):
+        for y in range(n):
+            assert _xy2d_scalar(n, x, y) == _xy2d(n, x, y)
+
+
+def test_hilbert_select_sql_twin_adds_exactly_one_column(spark):
+    """The DuckDB twin's EXCLUDE strips every working column: output
+    schema is the input columns plus `hd`, and the hd values match
+    with_hilbert on the same rows."""
+    import duckdb
+
+    from geohash_dotnet_spark.operators.layout import hilbert_select_sql
+
+    rows = [(1, 10.0, 20.0), (2, -33.9, 151.2), (3, 64.1, -21.9)]
+    inner = ("SELECT * FROM (VALUES (1, 10.0, 20.0), (2, -33.9, 151.2), "
+             "(3, 64.1, -21.9)) AS t(id, lat, lon)")
+    rel = duckdb.sql(hilbert_select_sql(inner, order=6))
+    assert rel.columns == ["id", "lat", "lon", "hd"]
+    got = {r[0]: r[3] for r in rel.fetchall()}
+    df = spark.createDataFrame(rows, "id int, lat double, lon double")
+    want = {r["id"]: r["hd"]
+            for r in with_hilbert(df, order=6).collect()}
+    assert got == want

@@ -108,3 +108,20 @@ def test_latest_fold_keeps_only_max_seq(spark):
     got = {(r["tile"], r["key"]): r["cnt_est"]
            for r in heavy_hitters_latest(em).collect()}
     assert got == {("t", "a"): 3, ("t", "b"): 2, ("s", "a"): 5}
+
+
+def test_null_keys_excluded_from_sketch_and_total(spark, tmp_path):
+    """NULL keys are filtered out BEFORE the sketch: they appear in no
+    counter and do not inflate n_total (which would corrupt the
+    err <= N/capacity bound)."""
+    rows = ([(f"u{i}", 10.0, 10.0, "en") for i in range(5)]
+            + [(f"n{i}", 10.0, 10.0, None) for i in range(3)])
+    df = spark.createDataFrame(rows, SCHEMA)
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    df.repartition(1).write.parquet(src)
+    _drain(spark, src, ckpt, out, capacity=8)
+    emitted = spark.read.parquet(out).collect()
+    assert {r["key"] for r in emitted} == {"en"}
+    assert all(r["n_total"] == 5 for r in emitted)
+    got = _latest(spark, out)
+    assert list(got.values()) == [(5, 0)]
