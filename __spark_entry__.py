@@ -164,6 +164,7 @@ from geohash_dotnet_spark.operators.layout import (  # noqa: E402
 from geohash_dotnet_spark.operators.diversity import (  # noqa: E402
     distance_bands_sql,
     tile_entropy_sql,
+    tile_terms_sql,
 )
 from geohash_dotnet_spark.operators.text import (  # noqa: E402
     char_entropy_sql_expr,
@@ -1836,6 +1837,20 @@ def q_tile_entropy(spark, sf_dir):
     return tile_entropy(_pages(spark, sf_dir), precision=2, key="lang")
 
 
+def q_tile_terms(spark, sf_dir):
+    """Top-3 distinctive terms per p2 tile by corpus-share lift —
+    regional vocabulary profiling over the geo web corpus. The only
+    corpus-scale exchange is the (tile, term) aggregate; ranking runs
+    on that table alone."""
+    from geohash_dotnet_spark.operators.diversity import tile_terms
+
+    # the persisted (tile, term) aggregate stays registered in the
+    # dedup cache registry (release_dedup_cache) like the other
+    # dedup/similarity entries — freed on session teardown
+    return tile_terms(_pages(spark, sf_dir), precision=2, k=3,
+                      min_count=3)
+
+
 def q_distance_bands(spark, sf_dir):
     """Radial ring histogram around a fixed point, bucketed on the
     fixed-point great-circle distance (engine-portable band edges)."""
@@ -1932,7 +1947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": q_exact_dedup_groups,
         "dedup_clusters": q_dedup_clusters,
         "latest_snapshot": q_latest_snapshot,
-        "quadkey_tiles": q_quadkey_tiles,
         "event_sessions": q_event_sessions,
         "cover_tracks": q_cover_tracks,
         "tile_smooth": q_tile_smooth,
@@ -1974,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_bbox": q_hilbert_bbox,
         "place_profiles": q_place_profiles,
         "bearing_rose": q_bearing_rose,
+        "tile_terms": q_tile_terms,
         # --- the flagship stays inside the window every round
         "flagship": q_flagship,
         # --- window boundary: 50 keys once the r5 additions fill slots
@@ -1985,7 +2000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_kernel_geohash.py (plus the all-keys local
         # replica).  Every other key below went GREEN in
         # CORRECTNESS_r04 and is unchanged this round, so its driver
-        # row stays <=1 round old.
+        # row stays <=1 round old.  quadkey_tiles was displaced by
+        # tile_terms (r5 batch 4): pure native tile math pinned by
+        # goldens in tests/test_tiles.py, r3-green, unchanged since.
+        "quadkey_tiles": q_quadkey_tiles,
         "gh_decode": q_gh_decode,
         "gh_bbox": q_gh_bbox,
         "gh_neighbors": q_gh_neighbors,
@@ -2304,6 +2322,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_shards": hilbert_shards_sql(
             pages_sql(REP), order=8, n_shards=64),
         "tile_entropy": tile_entropy_sql(tagged2, key="lang"),
+        "tile_terms": tile_terms_sql(tagged2, k=3, min_count=3),
         "distance_bands": distance_bands_sql(
             pages_sql(REP), 40.0, -100.0, band_m=500_000, n_bands=30),
         "tile_pyramid": tile_pyramid_sql(pages_sql(REP), max_z=6),

@@ -29,7 +29,8 @@ from ..functions.oracle import haversine_sql
 from .text import fp6, fp6_sql
 
 __all__ = ["tile_entropy", "tile_entropy_sql",
-           "distance_bands", "distance_bands_sql"]
+           "distance_bands", "distance_bands_sql",
+           "tile_terms", "tile_terms_sql"]
 
 
 def tile_entropy(df: DataFrame, lat: str = "lat", lon: str = "lon",
@@ -96,3 +97,98 @@ def distance_bands_sql(inner: str, center_lat: float, center_lon: float,
     return (f"SELECT {band} AS band, CAST(count(*) AS BIGINT) AS n_pages, "
             f"CAST(count(DISTINCT url) AS BIGINT) AS n_urls "
             f"FROM ({inner}) GROUP BY 1")
+
+
+def tile_terms(df: DataFrame, text: str = "text", lat: str = "lat",
+               lon: str = "lon", precision: int = 2, k: int = 5,
+               min_count: int = 3) -> DataFrame:
+    """-> (tile, term, c_tw, n_t, c_w, lift, rank): the ``k`` most
+    DISTINCTIVE whitespace tokens per geohash tile, ranked by lift —
+    the term's in-tile share over its corpus share:
+
+        lift = (c_tw / n_t) / (c_w / N)
+
+    with c_tw the (tile, term) count, n_t the tile's token total, c_w
+    the term's corpus total, N the corpus token total. "What words
+    characterize this region" — the regional-profile primitive of a
+    geo web corpus. Terms with c_w < ``min_count`` are dropped BEFORE
+    ranking (one-off noise can have unbounded lift).
+
+    Cross-engine determinism: lift is pure IEEE arithmetic on exact
+    integers (three correctly-rounded divisions, no transcendentals)
+    so Spark and DuckDB produce bit-identical doubles; fp6 plus the
+    term tiebreak makes the per-tile rank a total order.
+
+    Scale shape (100 TB): ONE corpus scan + token explode collapses
+    map-side into the (tile, term) aggregate — the only corpus-scale
+    exchange. That table (<= |tiles| x |vocab| rows) is persisted
+    (registered for :func:`..dedup.release_dedup_cache`) and re-read
+    for the scalar total (one-row broadcast) and the two window sorts
+    (tile, term); nothing downstream touches the corpus again. The
+    term window's skew is bounded by |tiles| rows per term.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _persist
+    from .text import _tokens
+
+    if not (1 <= precision <= 12):
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+    g = with_geohash(df, lat, lon, precision, out="__tile")
+    tt = (g.select(F.col("__tile").alias("tile"),
+                   F.explode(_tokens(F.col(text))).alias("term"))
+          .filter(F.col("term") != F.lit(""))
+          .groupBy("tile", "term")
+          .agg(F.count(F.lit(1)).alias("c_tw")))
+    tt = _persist(tt)
+    tot = tt.agg(F.sum("c_tw").cast("long").alias("__N"))
+    x = (tt.withColumn("n_t", F.sum("c_tw").over(Window.partitionBy("tile")))
+         .withColumn("c_w", F.sum("c_tw").over(Window.partitionBy("term")))
+         .filter(F.col("c_w") >= F.lit(int(min_count)))
+         .crossJoin(F.broadcast(tot)))
+    lift = fp6((F.col("c_tw").cast("double") / F.col("n_t").cast("double"))
+               / (F.col("c_w").cast("double") / F.col("__N").cast("double")))
+    ranked = (x.withColumn("lift", lift)
+              .withColumn("rank", F.row_number().over(
+                  Window.partitionBy("tile")
+                  .orderBy(F.col("lift").desc(), F.col("term")))))
+    return (ranked.filter(F.col("rank") <= F.lit(int(k)))
+            .select("tile", "term", "c_tw", "n_t", "c_w", "lift",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def tile_terms_sql(tagged_inner: str, text: str = "text", k: int = 5,
+                   min_count: int = 3) -> str:
+    """DuckDB twin; ``tagged_inner`` must expose ``gh`` and the text
+    column. Same tokenization, windows, lift arithmetic, and tiebreak."""
+    from .lm import _TOKS_SQL_TMPL
+
+    toks = _TOKS_SQL_TMPL.format(text=text)
+    lift = fp6_sql(
+        "(CAST(c_tw AS DOUBLE) / CAST(n_t AS DOUBLE))"
+        " / (CAST(c_w AS DOUBLE) / CAST(__n AS DOUBLE))")
+    return f"""
+WITH tt AS (
+  SELECT tile, term, CAST(count(*) AS BIGINT) AS c_tw
+  FROM (SELECT gh AS tile, unnest({toks}) AS term
+        FROM ({tagged_inner})) u
+  WHERE term <> '' GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(c_tw) AS BIGINT) AS __n FROM tt),
+x AS (
+  SELECT tile, term, c_tw,
+         CAST(sum(c_tw) OVER (PARTITION BY tile) AS BIGINT) AS n_t,
+         CAST(sum(c_tw) OVER (PARTITION BY term) AS BIGINT) AS c_w
+  FROM tt
+), r AS (
+  SELECT tile, term, c_tw, n_t, c_w, {lift} AS lift,
+         row_number() OVER (
+           PARTITION BY tile ORDER BY {lift} DESC, term) AS rank
+  FROM x CROSS JOIN tot WHERE c_w >= {int(min_count)}
+)
+SELECT tile, term, c_tw, n_t, c_w, lift, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {int(k)}"""

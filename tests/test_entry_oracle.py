@@ -92,7 +92,10 @@ def test_window_boundary():
         # last driver-checked in r3 or earlier (stale going into r5)
         "gh_encode_p5", "cover_california", "cover_circles_table",
         "spatial_join_refined", "compress_covering", "exact_dedup_groups",
-        "dedup_clusters", "latest_snapshot", "quadkey_tiles",
+        "dedup_clusters", "latest_snapshot",
+        # NOTE: quadkey_tiles was displaced by tile_terms (r5 batch 4):
+        # r3-green, unchanged, pure native tile math pinned by the
+        # goldens in tests/test_tiles.py.
         "event_sessions", "cover_tracks", "tile_smooth", "tile_trend",
         "tile_hotspots", "tile_moran", "events_range_join",
         "events_time_rollup", "nearest_city", "tile_quality_dist",
@@ -134,4 +137,5 @@ NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
              "minhash_incremental", "classifier_scores",
              "adaptive_cells", "hilbert_shards", "tile_entropy",
              "distance_bands", "tile_pyramid", "visit_recurrence",
-             "hilbert_bbox", "place_profiles", "bearing_rose"}
+             "hilbert_bbox", "place_profiles", "bearing_rose",
+             "tile_terms"}

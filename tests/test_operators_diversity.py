@@ -71,3 +71,99 @@ def test_validation(spark):
         distance_bands(None, 0.0, 0.0, band_m=0)
     with pytest.raises(ValueError):
         distance_bands(None, 0.0, 0.0, n_bands=0)
+
+
+def _terms_df(spark):
+    rows = [
+        # tile u3 (~Berlin): currywurst x3, the x3
+        (1, 52.5, 13.4, "currywurst the currywurst the currywurst the"),
+        # tile r3 (~Sydney): meatpie x2, the x4, once-off typo
+        (2, -33.9, 151.2, "meatpie the the meatpie the the zzyzx"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id int, lat double, lon double, text string")
+
+
+def test_tile_terms_lift_math_and_rank(spark):
+    """Exact lift values on a hand-computed corpus: N=13, the=7,
+    currywurst=3, meatpie=2, zzyzx=1 (dropped by min_count)."""
+    from geohash_dotnet_spark.operators.dedup import release_dedup_cache
+    from geohash_dotnet_spark.operators.diversity import tile_terms
+
+    got = sorted(tuple(r) for r in
+                 tile_terms(_terms_df(spark), precision=2, k=2,
+                            min_count=2).collect())
+    release_dedup_cache()
+    # lift = (c_tw/n_t) / (c_w/N), fp6-rounded
+    assert got == [
+        ("r3", "meatpie", 2, 7, 2, 1.857143, 1),   # (2/7)/(2/13)
+        ("r3", "the", 4, 7, 7, 1.061224, 2),       # (4/7)/(7/13)
+        ("u3", "currywurst", 3, 6, 3, 2.166667, 1),
+        ("u3", "the", 3, 6, 7, 0.928571, 2),
+    ]
+
+
+def test_tile_terms_min_count_drops_noise(spark):
+    """A once-off term has unbounded lift; min_count gates it out
+    BEFORE ranking so it cannot claim a top-k slot."""
+    from geohash_dotnet_spark.operators.dedup import release_dedup_cache
+    from geohash_dotnet_spark.operators.diversity import tile_terms
+
+    got = {r["term"] for r in
+           tile_terms(_terms_df(spark), precision=2, k=5,
+                      min_count=2).collect()}
+    assert "zzyzx" not in got
+    loose = {r["term"] for r in
+             tile_terms(_terms_df(spark), precision=2, k=5,
+                        min_count=1).collect()}
+    release_dedup_cache()
+    assert "zzyzx" in loose
+
+
+def test_tile_terms_matches_duckdb_twin(spark):
+    """Value-exact vs the SQL twin (the driver-gate contract) on the
+    real documents table."""
+    import duckdb
+
+    from geohash_dotnet_spark.functions.oracle import pages_tagged_sql
+    from geohash_dotnet_spark.operators.dedup import release_dedup_cache
+    from geohash_dotnet_spark.operators.diversity import (tile_terms,
+                                                          tile_terms_sql)
+    from geohash_dotnet_spark.sources.pages import pages
+
+    got = sorted(tuple(r) for r in
+                 tile_terms(pages(spark, "/root/testdata/sf0.001"),
+                            precision=1, k=3, min_count=3).collect())
+    release_dedup_cache()
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.sql(tile_terms_sql(pages_tagged_sql(1),
+                                         k=3, min_count=3)).fetchall())
+    assert got and got == want
+
+
+def test_tile_terms_no_python_in_plan_and_cache_released(spark):
+    """The token explode and windows are pure JVM (no Python eval
+    nodes), and release_dedup_cache frees the persisted aggregate."""
+    from geohash_dotnet_spark.operators.dedup import release_dedup_cache
+    from geohash_dotnet_spark.operators.diversity import tile_terms
+
+    out = tile_terms(_terms_df(spark), precision=2, k=2, min_count=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    out.collect()
+    assert release_dedup_cache() >= 1
+
+
+def test_tile_terms_validation(spark):
+    from geohash_dotnet_spark.operators.diversity import tile_terms
+
+    with pytest.raises(ValueError):
+        tile_terms(None, precision=0)
+    with pytest.raises(ValueError):
+        tile_terms(None, k=0)
+    with pytest.raises(ValueError):
+        tile_terms(None, min_count=0)
