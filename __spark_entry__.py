@@ -166,6 +166,10 @@ from geohash_dotnet_spark.operators.diversity import (  # noqa: E402
     tile_entropy_sql,
     tile_terms_sql,
 )
+from geohash_dotnet_spark.operators.links import (  # noqa: E402
+    link_host_edges_sql,
+    planted_anchors_sql,
+)
 from geohash_dotnet_spark.operators.text import (  # noqa: E402
     char_entropy_sql_expr,
     fp6,
@@ -1909,6 +1913,21 @@ def q_place_profiles(spark, sf_dir):
                                threshold=0.2)
 
 
+def q_link_graph(spark, sf_dir):
+    """Host-level web graph parsed out of the html BINARY with one
+    codegen regex (the WAT-extraction step): anchors planted
+    deterministically per url (variable counts incl. zero), extracted
+    with extract_links, aggregated to (src_host, dst_host) edges.
+    src host = the url's path site segment so the graph is many-to-
+    many. The html payload never crosses an exchange (plan-asserted in
+    tests/test_operators_links.py)."""
+    from geohash_dotnet_spark.operators.links import (link_host_edges,
+                                                      with_planted_anchors)
+
+    pg = with_planted_anchors(pages(spark, sf_dir, replicate=REP))
+    return link_host_edges(pg, src_host_re="https?://[^/]+/([^/]+)")
+
+
 def q_bearing_rose(spark, sf_dir):
     """Compass rose of movement: initial great-circle bearings of
     consecutive per-user moves in 8 sectors (one user-keyed window
@@ -1968,7 +1987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "circle_join": q_circle_join,
         "gh_grid_viewport": q_gh_grid,
-        "tile_counts_p2": q_tile_counts_p2,
         "tile_rollup": q_tile_rollup,
         "spatial_join_rect": q_spatial_join_rect,
         "knn": q_knn,
@@ -1989,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "place_profiles": q_place_profiles,
         "bearing_rose": q_bearing_rose,
         "tile_terms": q_tile_terms,
+        "link_graph": q_link_graph,
         # --- the flagship stays inside the window every round
         "flagship": q_flagship,
         # --- window boundary: 50 keys once the r5 additions fill slots
@@ -2003,6 +2022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row stays <=1 round old.  quadkey_tiles was displaced by
         # tile_terms (r5 batch 4): pure native tile math pinned by
         # goldens in tests/test_tiles.py, r3-green, unchanged since.
+        # tile_counts_p2 was displaced by link_graph (r5 batch 5): its
+        # p2 tile aggregation is the exact sub-shape of the in-window
+        # tile_rollup / tile_pyramid ladders, r3-green, unchanged.
+        "tile_counts_p2": q_tile_counts_p2,
         "quadkey_tiles": q_quadkey_tiles,
         "gh_decode": q_gh_decode,
         "gh_bbox": q_gh_bbox,
@@ -2323,6 +2346,9 @@ def oracle_sql() -> dict[str, str]:
             pages_sql(REP), order=8, n_shards=64),
         "tile_entropy": tile_entropy_sql(tagged2, key="lang"),
         "tile_terms": tile_terms_sql(tagged2, k=3, min_count=3),
+        "link_graph": link_host_edges_sql(
+            planted_anchors_sql(pages_sql(REP)),
+            src_host_re="https?://[^/]+/([^/]+)"),
         "distance_bands": distance_bands_sql(
             pages_sql(REP), 40.0, -100.0, band_m=500_000, n_bands=30),
         "tile_pyramid": tile_pyramid_sql(pages_sql(REP), max_z=6),

@@ -1,0 +1,172 @@
+"""Outlink extraction from raw html — the WAT-extraction step of a
+web-corpus pipeline (Common Crawl ships exactly this as its WAT
+sidecar: per-page anchor targets parsed out of the WARC html).
+
+:func:`extract_links` parses ``<a href="...">`` targets out of the
+``html`` binary column with a single RE2/Java-portable regex inside the
+scan projection, explodes to one row per (page, link), and parses the
+target host. :func:`link_host_edges` collapses that to the
+(src_host, dst_host, n_links) web graph — the REAL counterpart of
+``operators/graph.host_edges`` (which synthesizes hash-chosen targets
+as a projection-only stand-in); the extracted edge table feeds the same
+``pagerank`` / ``hits`` / ``bfs_reach`` consumers.
+
+Scale shape (100 TB design point):
+  * extraction is a pure codegen projection — decode + regexp_extract_all
+    never leave the scan stage, and the html payload NEVER crosses an
+    exchange: the explode emits only (src_host, link-host, url) string
+    triples. Two exchanges total: the corpus-scale one carries
+    partial-aggregated (src_host, dst_host, url, n) rows (each page's
+    repeats to one host collapse map-side), and the second is
+    host-pair-keyed on the page-edge-bounded table.
+  * pages with zero anchors cost one regexp scan and emit nothing
+    (explode drops empty arrays) — no skew from boilerplate-only pages.
+  * the regex is anchored on the attribute quote (``<a href="([^"]+)"``):
+    identical semantics under Java regex (Spark codegen) and RE2
+    (DuckDB twin) — no backtracking constructs, no character-class
+    shorthand that the engines disagree on (the \\s trap documented in
+    text.with_char_entropy).
+
+Reference parity: geohash-dotnet has no html module — this is part of
+the web-pipeline extension surface (VERDICT "LLM-data-pipeline
+operators"); the geo tie-in is the host graph it feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_60bit, md5_60bit_sql
+
+__all__ = ["extract_links", "extract_links_sql",
+           "link_host_edges", "link_host_edges_sql",
+           "with_planted_anchors", "planted_anchors_sql",
+           "HREF_RE", "HOST_RE"]
+
+# Portable under both Java regex and RE2: literal anchor, one capture,
+# negated-class body (no lazy quantifiers, no lookaround).
+HREF_RE = '<a href="([^"]+)"'
+HOST_RE = "https?://([^/\"]+)"
+
+
+def extract_links(df: DataFrame, html: str = "html",
+                  url: str = "url") -> DataFrame:
+    """-> (url, pos int, link string, link_host string): one row per
+    anchor target parsed from the ``html`` binary, in document order
+    (``pos`` = 0-based anchor index). Pages without anchors emit no
+    rows. ``link_host`` is the authority part of an absolute http(s)
+    target ('' for relative links — kept, a crawl frontier resolves
+    them against the base url)."""
+    links = F.expr(
+        f"regexp_extract_all(decode({html}, 'UTF-8'), '{HREF_RE}', 1)")
+    return (df
+            .select(F.col(url).alias("url"),
+                    F.posexplode(links).alias("pos", "link"))
+            .withColumn("link_host",
+                        F.regexp_extract("link", HOST_RE, 1)))
+
+
+def extract_links_sql(pages_html_inner: str) -> str:
+    """DuckDB twin; ``pages_html_inner`` must expose ``url`` and
+    ``html_s`` (VARCHAR — the twin rebuilds the html string rather than
+    round-tripping a BLOB, same convention as the extract_text oracle).
+    Replays regexp_extract_all + ordinal explode."""
+    return f"""
+SELECT url,
+       CAST(unnest(range(len(ls))) AS INT) AS pos,
+       unnest(ls) AS link,
+       regexp_extract(unnest(ls), '{HOST_RE}', 1) AS link_host
+FROM (
+  SELECT url, regexp_extract_all(html_s, '{HREF_RE}', 1) AS ls
+  FROM ({pages_html_inner})
+)
+"""
+
+
+def link_host_edges(df: DataFrame, html: str = "html", url: str = "url",
+                    src_host_re: str = HOST_RE) -> DataFrame:
+    """-> (src_host, dst_host, n_links long, n_pages long): the
+    host-level web graph aggregated from extracted anchors — absolute
+    http(s) targets only (relative links have no host). ``n_pages`` is
+    the number of distinct source pages contributing the edge."""
+    ex = extract_links(df, html=html, url=url)
+    per_page = (ex
+                .where(F.col("link_host") != F.lit(""))
+                .select(F.regexp_extract("url", src_host_re, 1)
+                        .alias("src_host"),
+                        F.col("link_host").alias("dst_host"), "url")
+                .groupBy("src_host", "dst_host", "url")
+                .agg(F.count(F.lit(1)).alias("n")))
+    return (per_page.groupBy("src_host", "dst_host")
+            .agg(F.sum("n").alias("n_links"),
+                 F.count(F.lit(1)).alias("n_pages")))
+
+
+def link_host_edges_sql(pages_html_inner: str,
+                        src_host_re: str = HOST_RE) -> str:
+    """DuckDB twin of :func:`link_host_edges`."""
+    ex = extract_links_sql(pages_html_inner)
+    return f"""
+SELECT regexp_extract(url, '{src_host_re}', 1) AS src_host,
+       link_host AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+FROM ({ex}) WHERE link_host <> ''
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic anchor planting (test/bench input builder)
+# ---------------------------------------------------------------------------
+
+def _anchor(url_col, j: int, n_hosts: int):
+    """The j-th planted anchor for a page: target host hash-chosen from
+    the url, link text 'l{j}'."""
+    t = F.pmod(md5_60bit(F.concat(url_col, F.lit(f"#l{j}"))),
+               F.lit(int(n_hosts)))
+    return F.concat(F.lit('<a href="https://site-'),
+                    t.cast("string"),
+                    F.lit(f'.example/p/{j}">l{j}</a>'))
+
+
+def with_planted_anchors(df: DataFrame, url: str = "url",
+                         text: str = "text", n_hosts: int = 97,
+                         max_links: int = 3,
+                         out: str = "html") -> DataFrame:
+    """Add an ``html`` binary column wrapping ``text`` with
+    ``md5(url) % (max_links+1)`` deterministic ``<a href>`` anchors —
+    the no-external-data stand-in for real crawled html, variable link
+    counts included (some pages get zero anchors). Pure projection,
+    zero shuffle; the DuckDB twin (:func:`planted_anchors_sql`)
+    rebuilds the identical bytes so extraction itself is value-checked
+    end-to-end."""
+    if max_links < 1 or n_hosts < 1:
+        raise ValueError(f"max_links/n_hosts must be >= 1, got "
+                         f"{max_links}/{n_hosts}")
+    n = F.pmod(md5_60bit(F.col(url)), F.lit(int(max_links) + 1))
+    parts = [F.lit("<html><body>"), F.col(text)]
+    for j in range(max_links):
+        parts.append(F.when(F.lit(j) < n, _anchor(F.col(url), j, n_hosts))
+                     .otherwise(F.lit("")))
+    parts.append(F.lit("</body></html>"))
+    return df.withColumn(out, F.encode(F.concat(*parts), "utf-8"))
+
+
+def planted_anchors_sql(pages_inner: str, n_hosts: int = 97,
+                        max_links: int = 3) -> str:
+    """DuckDB twin of :func:`with_planted_anchors`: url, html_s
+    (VARCHAR — the pre-encode string; encode/decode are UTF-8 inverses
+    so the Spark binary round-trip extracts from identical bytes)."""
+    n = f"({md5_60bit_sql('url')}) % {int(max_links) + 1}"
+    anchors = []
+    for j in range(max_links):
+        h = md5_60bit_sql(f"url || '#l{j}'")
+        t = f"({h}) % {int(n_hosts)}"
+        a = (f"'<a href=\"https://site-' || CAST({t} AS VARCHAR) || "
+             f"'.example/p/{j}\">l{j}</a>'")
+        anchors.append(f"CASE WHEN {j} < {n} THEN {a} ELSE '' END")
+    body = " || ".join(["'<html><body>'", "text"] + anchors
+                       + ["'</body></html>'"])
+    return f"SELECT url, {body} AS html_s FROM ({pages_inner})"

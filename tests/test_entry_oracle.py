@@ -118,7 +118,11 @@ def test_window_boundary():
         # and geofence_ring derives purely from the golden-pinned
         # cover_polygon sets.
         "gh_grid_viewport",
-        "tile_counts_p2", "tile_rollup", "spatial_join_rect", "knn",
+        # NOTE: tile_counts_p2 was displaced by link_graph (r5 batch
+        # 5): its p2 tile aggregation is the exact sub-shape of the
+        # in-window tile_rollup / tile_pyramid ladders, r3-green,
+        # unchanged.
+        "tile_rollup", "spatial_join_rect", "knn",
         "knn_table",
         # the flagship is re-checked every round
         "flagship",
@@ -138,4 +142,4 @@ NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
              "adaptive_cells", "hilbert_shards", "tile_entropy",
              "distance_bands", "tile_pyramid", "visit_recurrence",
              "hilbert_bbox", "place_profiles", "bearing_rose",
-             "tile_terms"}
+             "tile_terms", "link_graph"}
