@@ -71,6 +71,7 @@ from geohash_dotnet_spark.operators import (  # noqa: E402
 )
 from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
     dedup_clusters_sql,
+    md5_60bit_sql,
     minhash_cross_sql,
     duplicate_spans_sql,
     paragraph_dedup_sql,
@@ -95,6 +96,7 @@ from geohash_dotnet_spark.operators.asof import (  # noqa: E402
     interval_join_sql,
 )
 from geohash_dotnet_spark.operators.graph import (  # noqa: E402
+    bfs_reach_sql,
     hits_sql,
     host_edges_sql,
     pagerank_sql,
@@ -1928,6 +1930,26 @@ def q_link_graph(spark, sf_dir):
     return link_host_edges(pg, src_host_re="https?://[^/]+/([^/]+)")
 
 
+def q_host_reach(spark, sf_dir):
+    """Multi-source BFS crawl depth over the deterministic site graph
+    (the q_host_pagerank graph): hop distance from the hash-chosen
+    seed sites within 3 hops — "what does a depth-3 crawl from these
+    seeds cover?". Frontier BFS (round h joins only the hop-(h-1)
+    frontier), label-setting so hops are set exactly once; all-integer,
+    bit-identical to the unrolled-CTE DuckDB replay."""
+    from geohash_dotnet_spark.operators.dedup import md5_60bit
+    from geohash_dotnet_spark.operators.graph import bfs_reach, host_edges
+
+    sites = (_pages(spark, sf_dir)
+             .select(F.regexp_extract(
+                 "url", r"^https?://[^/]+/([^/]+)/", 1).alias("site"))
+             .distinct())
+    seeds = (sites.select(F.col("site").alias("node"))
+             .where(F.pmod(md5_60bit(F.col("node")), F.lit(7)) == 0))
+    return bfs_reach(host_edges(sites, node="site", key="site"),
+                     seeds, n_hops=3)
+
+
 def q_bearing_rose(spark, sf_dir):
     """Compass rose of movement: initial great-circle bearings of
     consecutive per-user moves in 8 sectors (one user-keyed window
@@ -1968,7 +1990,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": q_latest_snapshot,
         "event_sessions": q_event_sessions,
         "cover_tracks": q_cover_tracks,
-        "tile_smooth": q_tile_smooth,
         "tile_trend": q_tile_trend,
         "tile_hotspots": q_tile_hotspots,
         "tile_moran": q_tile_moran,
@@ -2008,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bearing_rose": q_bearing_rose,
         "tile_terms": q_tile_terms,
         "link_graph": q_link_graph,
+        "host_reach": q_host_reach,
         # --- the flagship stays inside the window every round
         "flagship": q_flagship,
         # --- window boundary: 50 keys once the r5 additions fill slots
@@ -2025,7 +2047,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tile_counts_p2 was displaced by link_graph (r5 batch 5): its
         # p2 tile aggregation is the exact sub-shape of the in-window
         # tile_rollup / tile_pyramid ladders, r3-green, unchanged.
+        # tile_smooth was displaced by host_reach (r5 batch 5):
+        # r3-green, wrapper and underlying neighbor/tile ops unchanged
+        # since, and its 3x3 focal shape is pinned by the full DuckDB
+        # neighbor-replay twin in the local all-keys replica.
         "tile_counts_p2": q_tile_counts_p2,
+        "tile_smooth": q_tile_smooth,
         "quadkey_tiles": q_quadkey_tiles,
         "gh_decode": q_gh_decode,
         "gh_bbox": q_gh_bbox,
@@ -2520,6 +2547,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + bm25_topk_sql(BM25_QUERIES, k=8)
             + ") ORDER BY qid, rank",
+        "host_reach": (lambda _sites:
+            bfs_reach_sql(
+                host_edges_sql(_sites, node="site", key="site"),
+                f"SELECT site AS node FROM ({_sites}) "
+                f"WHERE ({md5_60bit_sql('site')}) % 7 = 0",
+                n_hops=3))(
+            "SELECT DISTINCT regexp_extract(url, "
+            "'^https?://[^/]+/([^/]+)/', 1) AS site "
+            f"FROM ({pages_sql(REP)})"),
         "host_pagerank":
             "SELECT * FROM ("
             + pagerank_sql(

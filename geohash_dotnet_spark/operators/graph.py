@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from .dedup import md5_60bit, md5_60bit_sql
 
 __all__ = ["pagerank", "pagerank_sql", "host_edges", "host_edges_sql",
-           "hits", "hits_sql"]
+           "hits", "hits_sql", "bfs_reach", "bfs_reach_sql"]
 
 R0 = 1_000_000_000_000  # initial rank per node, micro-units (1e12)
 
@@ -314,3 +314,87 @@ def hits_sql(edges_inner: str, n_iter: int = 3, s0: int = S0) -> str:
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT h{n}.node, hub, auth FROM h{n} "
             f"JOIN a{n} ON a{n}.node = h{n}.node")
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS reach (crawl-depth / frontier distance)
+# ---------------------------------------------------------------------------
+
+def bfs_reach(edges: DataFrame, seeds: DataFrame, n_hops: int = 3,
+              src: str = "src", dst: str = "dst",
+              node: str = "node") -> DataFrame:
+    """(node, hop int): minimum hop count from any seed along directed
+    edges, for every node within ``n_hops`` — the crawl-depth frontier
+    question ("what does a depth-k crawl from these seeds cover?").
+    Unreached nodes are absent. All-integer, join-order free: each
+    node's hop is set exactly once, the first round it is reached
+    (label-setting BFS, so no min-reduction races exist at all).
+
+    Scale shape (100 TB design point): classic FRONTIER BFS, not
+    dist-table re-exploration — round h joins ONLY the hop-(h-1)
+    frontier against the edge list (frontiers shrink as the graph
+    saturates; re-joining the whole visited set would re-derive every
+    earlier round's expansions each iteration). The visited set is
+    node-keyed and persisted per round with the previous handle
+    released (kmeans/pagerank discipline); the anti-join that drops
+    already-visited candidates reuses its node-key partitioning. The
+    per-round driver sync is the persist-materializing count, which
+    doubles as the saturation early-exit — an empty frontier ends the
+    loop without burning the remaining unrolled rounds.
+
+    Determinism: output is a pure function of the edge/seed SETS
+    (inputs are distinct-ed); hops are small ints; no floats anywhere.
+    """
+    if n_hops < 1:
+        raise ValueError(f"n_hops must be >= 1, got {n_hops}")
+    e = edges.select(F.col(src).alias("s"),
+                     F.col(dst).alias("d")).distinct()
+    frontier = (seeds.select(F.col(node).alias("n")).distinct()
+                .withColumn("hop", F.lit(0)))
+    visited = frontier.persist()
+    visited.count()
+    frontier = visited
+    handles = [visited]
+    for h in range(1, n_hops + 1):
+        cand = (frontier.join(e, frontier["n"] == e["s"])
+                .select(F.col("d").alias("n")).distinct())
+        newf = (cand.join(visited, "n", "left_anti")
+                .withColumn("hop", F.lit(h)))
+        nxt = visited.unionByName(newf).persist()
+        if nxt.where(F.col("hop") == h).count() == 0:
+            nxt.unpersist()
+            break
+        handles.append(nxt)
+        if len(handles) > 2:  # keep current + previous, release older
+            handles.pop(0).unpersist()
+        frontier = nxt.where(F.col("hop") == h)
+        visited = nxt
+    return visited.select(F.col("n").alias(node),
+                          F.col("hop").cast("int").alias("hop"))
+
+
+def bfs_reach_sql(edges_inner: str, seeds_inner: str,
+                  n_hops: int = 3) -> str:
+    """DuckDB twin of :func:`bfs_reach` — rounds unrolled as chained
+    CTEs (frontier anti-join per round, identical label-setting rule);
+    ``seeds_inner`` must expose ``node``."""
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_inner}))",
+        "v0 AS (SELECT DISTINCT node AS n, 0 AS hop "
+        f"FROM ({seeds_inner}))",
+        "f0 AS (SELECT n FROM v0)",
+    ]
+    for h in range(1, n_hops + 1):
+        parts.append(
+            f"c{h} AS (SELECT DISTINCT e.dst AS n "
+            f"FROM f{h - 1} JOIN e ON f{h - 1}.n = e.src)")
+        parts.append(
+            f"f{h} AS (SELECT c{h}.n FROM c{h} "
+            f"LEFT JOIN v{h - 1} ON c{h}.n = v{h - 1}.n "
+            f"WHERE v{h - 1}.n IS NULL)")
+        parts.append(
+            f"v{h} AS (SELECT n, hop FROM v{h - 1} "
+            f"UNION ALL SELECT n, {h} AS hop FROM f{h})")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT n AS node, CAST(hop AS INT) AS hop "
+            f"FROM v{int(n_hops)}")

@@ -96,7 +96,9 @@ def test_window_boundary():
         # NOTE: quadkey_tiles was displaced by tile_terms (r5 batch 4):
         # r3-green, unchanged, pure native tile math pinned by the
         # goldens in tests/test_tiles.py.
-        "event_sessions", "cover_tracks", "tile_smooth", "tile_trend",
+        # NOTE: tile_smooth was displaced by host_reach (r5 batch 5):
+        # r3-green, wrapper + underlying neighbor/tile ops unchanged.
+        "event_sessions", "cover_tracks", "tile_trend",
         "tile_hotspots", "tile_moran", "events_range_join",
         "events_time_rollup", "nearest_city", "tile_quality_dist",
         "minhash_pairs", "simhash_pairs", "token_stats",
@@ -142,4 +144,4 @@ NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
              "adaptive_cells", "hilbert_shards", "tile_entropy",
              "distance_bands", "tile_pyramid", "visit_recurrence",
              "hilbert_bbox", "place_profiles", "bearing_rose",
-             "tile_terms", "link_graph"}
+             "tile_terms", "link_graph", "host_reach"}

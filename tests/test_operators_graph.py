@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from geohash_dotnet_spark.operators.graph import (
     R0,
+    bfs_reach,
     host_edges,
     pagerank,
 )
@@ -189,3 +190,97 @@ def test_hits_enforces_overflow_bound(spark):
         hits(df, n_iter=1, s0=2 * 10 ** 9)
     # and the default s0 still works on the same graph
     assert hits(df, n_iter=1).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# bfs_reach
+# ---------------------------------------------------------------------------
+
+def _reach(spark, edges, seeds, **kw):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    return {r["node"]: r["hop"]
+            for r in bfs_reach(e, s, **kw).collect()}
+
+
+def test_reach_chain_and_depth_cut(spark):
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert _reach(spark, chain, ["a"], n_hops=3) == {
+        "a": 0, "b": 1, "c": 2, "d": 3}
+    # depth-2 crawl never discovers d
+    assert _reach(spark, chain, ["a"], n_hops=2) == {
+        "a": 0, "b": 1, "c": 2}
+
+
+def test_reach_min_hop_on_diamond(spark):
+    # two length-2 paths to d -> d appears once, at hop 2
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    assert _reach(spark, edges, ["a"], n_hops=3) == {
+        "a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_reach_cycle_saturates_and_stops(spark):
+    # a <-> b plus an unreachable island x->y: saturation after round 1
+    edges = [("a", "b"), ("b", "a"), ("x", "y")]
+    assert _reach(spark, edges, ["a"], n_hops=5) == {"a": 0, "b": 1}
+
+
+def test_reach_multi_seed_takes_minimum(spark):
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert _reach(spark, chain, ["a", "c"], n_hops=3) == {
+        "a": 0, "b": 1, "c": 0, "d": 1}
+
+
+def test_reach_seed_shortcut_beats_longer_path(spark):
+    # c is a seed AND reachable from a in 2 — label-setting keeps 0
+    edges = [("a", "b"), ("b", "c")]
+    assert _reach(spark, edges, ["a", "c"], n_hops=3)["c"] == 0
+
+
+def test_reach_validates_n_hops(spark):
+    with pytest.raises(ValueError):
+        _reach(spark, [("a", "b")], ["a"], n_hops=0)
+
+
+def test_reach_matches_duckdb_twin(spark):
+    """Value parity on the pages-derived host graph with hash-chosen
+    seeds (the q_host_reach shape) at sf0.001."""
+    import duckdb
+
+    from geohash_dotnet_spark.functions.oracle import pages_sql
+    from geohash_dotnet_spark.operators.dedup import (md5_60bit,
+                                                      md5_60bit_sql)
+    from geohash_dotnet_spark.operators.graph import (bfs_reach_sql,
+                                                      host_edges_sql)
+    from geohash_dotnet_spark.sources.pages import pages
+
+    pg = pages(spark, "/root/testdata/sf0.001")
+    sites = (pg.select(F.regexp_extract(
+        "url", r"^https?://[^/]+/([^/]+)/", 1).alias("site")).distinct())
+    e = host_edges(sites, node="site", key="site", fanout=3)
+    seeds = (sites.select(F.col("site").alias("node"))
+             .where(F.pmod(md5_60bit(F.col("node")), F.lit(7)) == 0))
+    got = sorted((r["node"], r["hop"])
+                 for r in bfs_reach(e, seeds, n_hops=3).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    sites_sql = (f"SELECT DISTINCT regexp_extract(url, "
+                 f"'^https?://[^/]+/([^/]+)/', 1) AS site "
+                 f"FROM ({pages_sql(1)})")
+    seeds_sql = (f"SELECT site AS node FROM ({sites_sql}) "
+                 f"WHERE ({md5_60bit_sql('site')}) % 7 = 0")
+    exp = sorted(tuple(r) for r in con.execute(
+        bfs_reach_sql(host_edges_sql(sites_sql, node="site", key="site"),
+                      seeds_sql, n_hops=3)).fetchall())
+    assert got == exp and len(got) > 0
+
+
+def test_reach_layout_invariant(spark):
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(40)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([("n0",), ("n13",)], "node string")
+    a = sorted(map(tuple, bfs_reach(e, s, n_hops=4).collect()))
+    b = sorted(map(tuple, bfs_reach(e.repartition(13), s.coalesce(1),
+                                    n_hops=4).collect()))
+    assert a == b
