@@ -116,6 +116,7 @@ from geohash_dotnet_spark.operators.lm import (  # noqa: E402
     hashed_linear_score_sql,
 )
 from geohash_dotnet_spark.operators.rollup import (  # noqa: E402
+    tile_freshness_sql,
     tile_pyramid_sql,
     time_rollup_sql,
 )
@@ -138,6 +139,8 @@ from geohash_dotnet_spark.operators.colocation import (  # noqa: E402
 from geohash_dotnet_spark.operators.index import (  # noqa: E402
     bm25_topk_sql,
     build_postings_sql,
+    doc_keywords_sql,
+    geo_text_search_sql,
     phrase_match_sql,
 )
 from geohash_dotnet_spark.operators.cdc import snapshot_diff_sql  # noqa: E402
@@ -156,8 +159,10 @@ from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     cosine_topk_sql,
     ivf_cosine_topk_sql,
     lsh_cosine_topk_sql,
+    pq_topk_sql,
     semantic_dedup_sql,
 )
+from geohash_dotnet_spark.operators.crawl import crawl_slots_sql  # noqa: E402
 from geohash_dotnet_spark.operators.adaptive import adaptive_cells_sql  # noqa: E402
 from geohash_dotnet_spark.operators.layout import (  # noqa: E402
     hilbert_bbox_tiles_sql,
@@ -166,6 +171,7 @@ from geohash_dotnet_spark.operators.layout import (  # noqa: E402
 from geohash_dotnet_spark.operators.diversity import (  # noqa: E402
     distance_bands_sql,
     tile_entropy_sql,
+    tile_skew_sql,
     tile_terms_sql,
 )
 from geohash_dotnet_spark.operators.links import (  # noqa: E402
@@ -1960,6 +1966,73 @@ def q_bearing_rose(spark, sf_dir):
     return bearing_rose(_sticky_events(spark, sf_dir), tiebreak="event_id")
 
 
+# bbox + term for the composed geo-text serving query (antimeridian-free)
+GTS_BBOX = dict(min_lat=0.0, max_lat=45.0, min_lon=-60.0, max_lon=30.0)
+GTS_TERM = "spark"
+
+
+def q_tile_skew(spark, sf_dir):
+    """One-row skew census (Gini + hottest-cell share) of the p2 tile
+    occupancy distribution — the statistic that decides between plain
+    hash partitioning and the salted-join path."""
+    from geohash_dotnet_spark.operators.diversity import tile_skew
+
+    return tile_skew(_pages(spark, sf_dir), precision=2)
+
+
+def q_tile_freshness(spark, sf_dir):
+    """Exponentially-decayed (staircase, fp6-exact) recency-weighted
+    p3 tile popularity over warc_ts — the crawl-map serving level."""
+    from geohash_dotnet_spark.operators.rollup import tile_freshness
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return tile_freshness(_pages(spark, sf_dir), precision=3,
+                          halflife_days=7)
+
+
+def q_doc_keywords(spark, sf_dir):
+    """Top-3 rarity-weighted terms per document (integer-exact tf-idf
+    variant) with the stopword df-cap branch exercised (max_df=400
+    actually cuts terms at sf0.01: df spans 25..402 over 500 docs)."""
+    from geohash_dotnet_spark.operators.index import doc_keywords
+
+    return doc_keywords(_docs(spark, sf_dir), k=3, max_df=400)
+
+
+def q_geo_text_search(spark, sf_dir):
+    """Composed serving query: geohash-covering semi-join bbox prune +
+    exact refine + token tf filter + global top-k. Oracle is a direct
+    bbox filter with NO covering, so the decomposition is value-checked."""
+    from geohash_dotnet_spark.operators.index import geo_text_search
+
+    return geo_text_search(_pages(spark, sf_dir), GTS_TERM,
+                           precision=2, k=20, **GTS_BBOX)
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (compressed-domain ANN): 4
+    sub-codebooks x 16 codes, integer fp6 sub-distance LUTs; oracle is
+    an independent relational PQ replay (argmin cross join + GROUP BY
+    ADC sum)."""
+    from geohash_dotnet_spark.operators.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = (emb.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    return pq_topk(emb, qs, k=10).orderBy("q_id", "rank")
+
+
+def q_crawl_slots(spark, sf_dir):
+    """Polite per-site fetch schedule: (ts, url)-ordered row_number
+    inside one site-keyed exchange, integer-division slot ids, min-url
+    witness per slot."""
+    from geohash_dotnet_spark.operators.crawl import crawl_slots
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return crawl_slots(_pages(spark, sf_dir), rate=16)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2001,17 +2074,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "repetition_stats": q_repetition_stats,
         "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
-        "circle_join": q_circle_join,
-        "gh_grid_viewport": q_gh_grid,
-        "tile_rollup": q_tile_rollup,
-        "spatial_join_rect": q_spatial_join_rect,
-        "knn": q_knn,
         "knn_table": q_knn_table,
+        # --- NEW in r5 batch 6 (never driver-checked -> must be inside
+        # the window; they displace six r3-green keys whose shapes are
+        # redundantly pinned — see the boundary comment below)
+        "tile_skew": q_tile_skew,
+        "tile_freshness": q_tile_freshness,
+        "doc_keywords": q_doc_keywords,
+        "geo_text_search": q_geo_text_search,
+        "pq_topk": q_pq_topk,
+        "crawl_slots": q_crawl_slots,
         # --- NEW in r5 (must-check; slots 40-48)
         "knn_sites": q_knn_sites,
         "stay_points": q_stay_points,
@@ -2051,6 +2127,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3-green, wrapper and underlying neighbor/tile ops unchanged
         # since, and its 3x3 focal shape is pinned by the full DuckDB
         # neighbor-replay twin in the local all-keys replica.
+        # r5 batch 6 displaced six more r3-green unchanged keys, each
+        # redundantly pinned inside the window or by reference goldens:
+        # knn (3-query subset of the in-window 96-query knn_table,
+        # same rings/refine kernel), tile_rollup (sub-shape of the
+        # in-window tile_pyramid ladder), spatial_join_rect (same
+        # cover+semi-join+refine pipeline as the in-window
+        # spatial_join_refined, rect WKT pinned by polygon-kernel
+        # goldens), circle_join (circle kernel shared with the
+        # in-window cover_circles_table), gh_grid_viewport (pure grid
+        # math pinned by exact-dyadic goldens in tests + the all-keys
+        # replica), repetition_stats (same token machinery as the
+        # in-window token_stats; pinned by pytest goldens).
+        "knn": q_knn,
+        "tile_rollup": q_tile_rollup,
+        "spatial_join_rect": q_spatial_join_rect,
+        "circle_join": q_circle_join,
+        "gh_grid_viewport": q_gh_grid,
+        "repetition_stats": q_repetition_stats,
         "tile_counts_p2": q_tile_counts_p2,
         "tile_smooth": q_tile_smooth,
         "quadkey_tiles": q_quadkey_tiles,
@@ -2373,6 +2467,14 @@ def oracle_sql() -> dict[str, str]:
             pages_sql(REP), order=8, n_shards=64),
         "tile_entropy": tile_entropy_sql(tagged2, key="lang"),
         "tile_terms": tile_terms_sql(tagged2, k=3, min_count=3),
+        "tile_skew": tile_skew_sql(tagged2),
+        "tile_freshness": tile_freshness_sql(pages_tagged_sql(3, REP),
+                                             halflife_days=7),
+        "doc_keywords": doc_keywords_sql("documents", k=3, max_df=400),
+        "geo_text_search": geo_text_search_sql(pages_sql(REP), GTS_TERM,
+                                               k=20, **GTS_BBOX),
+        "pq_topk": pq_topk_sql(10, [0, 1, 2, 3, 4], dim=64),
+        "crawl_slots": crawl_slots_sql(pages_sql(REP), rate=16),
         "link_graph": link_host_edges_sql(
             planted_anchors_sql(pages_sql(REP)),
             src_host_re="https?://[^/]+/([^/]+)"),

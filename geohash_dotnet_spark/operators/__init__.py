@@ -35,6 +35,8 @@ from .similarity import (  # noqa: F401
     cosine_near_pairs,
     cosine_topk,
     lsh_cosine_topk,
+    pq_encode,
+    pq_topk,
     semantic_dedup,
     signature_col,
     signature_col_vec,
@@ -67,7 +69,14 @@ from .flows import (  # noqa: F401
     user_mobility,
 )
 from .graph import host_edges, pagerank  # noqa: F401
-from .index import bm25_topk, build_postings, phrase_match  # noqa: F401
+from .crawl import crawl_slots  # noqa: F401
+from .index import (  # noqa: F401
+    bm25_topk,
+    build_postings,
+    doc_keywords,
+    geo_text_search,
+    phrase_match,
+)
 from .kmeans import kmeans_assign, kmeans_fit  # noqa: F401
 from .lm import (  # noqa: F401
     bigram_ppl,
@@ -75,8 +84,9 @@ from .lm import (  # noqa: F401
     dsir_weights,
     hashed_linear_score,
 )
+from .diversity import tile_skew  # noqa: F401
 from .hotspots import focal_hotspots, moran_i, tile_anomaly  # noqa: F401
-from .rollup import time_rollup  # noqa: F401
+from .rollup import tile_freshness, time_rollup  # noqa: F401
 from .sessions import sessionize  # noqa: F401
 from .tracks import corridor_join, cover_tracks, snap_to_route  # noqa: F401
 from .text import (  # noqa: F401

@@ -21,7 +21,7 @@ corpus-size-independent exchanges.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.native import haversine_m, with_geohash
@@ -30,7 +30,8 @@ from .text import fp6, fp6_sql
 
 __all__ = ["tile_entropy", "tile_entropy_sql",
            "distance_bands", "distance_bands_sql",
-           "tile_terms", "tile_terms_sql"]
+           "tile_terms", "tile_terms_sql",
+           "tile_skew", "tile_skew_sql"]
 
 
 def tile_entropy(df: DataFrame, lat: str = "lat", lon: str = "lon",
@@ -192,3 +193,86 @@ x AS (
 )
 SELECT tile, term, c_tw, n_t, c_w, lift, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {int(k)}"""
+
+
+def tile_skew(df: DataFrame, lat: str = "lat", lon: str = "lon",
+              precision: int = 2) -> DataFrame:
+    """One-row skew census of the tile occupancy distribution ->
+    (n_tiles, n_pages, top_tile, top_n, top_share, gini): the Gini
+    coefficient and hottest-cell share of pages-per-tile — the numbers
+    that DECIDE the engine's own physical plan (a high top_share says
+    the spatial join needs the salted path / AQE skew split; gini ~ 0
+    says plain hash partitioning is already balanced). Run it at the
+    bucketing precision before choosing a layout.
+
+    Shapes: one corpus-keyed tile aggregation (map-side partials),
+    then a single-partition rank window over the TILE table only —
+    bounded by 32^precision rows, enforced (precision <= 4, ~1M cells
+    max), never by the corpus. Gini uses the sorted-rank identity
+        G = (2*sum(i*n_i) - (n+1)*sum(n)) / (n*sum(n))
+    on exact BIGINTs (ties: equal n values make sum(i*n_i) invariant
+    to their order, so the tile tiebreak cannot change G); top-cell
+    tie breaks to the lexicographically lowest tile via struct-min.
+    Overflow bound: n_tiles * n_pages < 2^63 (at the enforced 1M-cell
+    cap that allows ~9e12 pages; raise precision via multiple runs on
+    subsets beyond that), guarded at runtime.
+    """
+    if not 1 <= precision <= 4:
+        raise ValueError(f"precision must be in [1, 4], got {precision}")
+    pg = with_geohash(df, lat, lon, precision, out="__tile")
+    tiles = (pg.groupBy(F.col("__tile").alias("tile"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.col("n").asc(), F.col("tile").asc())
+    r = tiles.withColumn("__rn", F.row_number().over(w).cast("long"))
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("n").alias("n_pages"),
+        F.sum(F.col("__rn") * F.col("n")).alias("__wsum"),
+        F.min(F.struct((-F.col("n")).alias("nn"),
+                       F.col("tile").alias("t"))).alias("__top"))
+    denom = F.col("n_tiles") * F.col("n_pages")
+    # overflow enforcement (not just documentation): a wrapped product
+    # goes negative in non-ANSI Spark — raise instead of emitting a
+    # garbage Gini. Folded into the output expression (a standalone
+    # guard column would be pruned away unevaluated by Catalyst).
+    gini_raw = ((F.lit(2) * F.col("__wsum")
+                 - (F.col("n_tiles") + F.lit(1)) * F.col("n_pages"))
+                .cast("double") / denom.cast("double"))
+    gini = F.when(
+        denom < 0,
+        F.raise_error(F.lit("tile_skew: n_tiles*n_pages overflowed BIGINT "
+                            "— shard the input"))
+    ).otherwise(fp6(gini_raw))
+    return agg.select(
+        "n_tiles", "n_pages",
+        F.col("__top.t").alias("top_tile"),
+        (-F.col("__top.nn")).alias("top_n"),
+        fp6((-F.col("__top.nn")).cast("double")
+            / F.col("n_pages").cast("double")).alias("top_share"),
+        gini.alias("gini"))
+
+
+def tile_skew_sql(tagged_inner: str) -> str:
+    """DuckDB oracle twin of :func:`tile_skew`; ``tagged_inner`` must
+    expose ``gh`` at the query's precision."""
+    return f"""
+WITH t AS (
+  SELECT gh AS tile, CAST(count(*) AS BIGINT) AS n
+  FROM ({tagged_inner}) GROUP BY gh
+), r AS (
+  SELECT tile, n,
+         CAST(row_number() OVER (ORDER BY n, tile) AS BIGINT) AS rn
+  FROM t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tiles,
+       CAST(sum(n) AS BIGINT) AS n_pages,
+       (SELECT tile FROM r ORDER BY n DESC, tile ASC LIMIT 1) AS top_tile,
+       (SELECT n FROM r ORDER BY n DESC, tile ASC LIMIT 1) AS top_n,
+       """ + fp6_sql(
+        "CAST((SELECT n FROM r ORDER BY n DESC, tile ASC LIMIT 1) AS DOUBLE)"
+        " / CAST(sum(n) AS DOUBLE)") + """ AS top_share,
+       """ + fp6_sql(
+        "CAST(2 * sum(rn * n) - (count(*) + 1) * sum(n) AS DOUBLE)"
+        " / CAST(count(*) * sum(n) AS DOUBLE)") + """ AS gini
+FROM r
+"""

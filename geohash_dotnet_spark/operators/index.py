@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import md5_60bit, md5_60bit_sql
-from .text import _tokens
+from .text import _tokens, fp6, fp6_sql
 
 __all__ = [
     "build_postings",
@@ -55,6 +55,10 @@ __all__ = [
     "bm25_topk_sql",
     "phrase_match",
     "phrase_match_sql",
+    "doc_keywords",
+    "doc_keywords_sql",
+    "geo_text_search",
+    "geo_text_search_sql",
 ]
 
 _TOKS_SQL = "string_split_regex(trim(lower({text})), '\\s+')"
@@ -330,4 +334,168 @@ p AS (
 SELECT {id_col}, CAST(len(pos) AS BIGINT) AS n_occurrences,
        CAST(pos[1] AS BIGINT) AS first_pos
 FROM p WHERE len(pos) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document keywords (rarity-weighted top terms)
+# ---------------------------------------------------------------------------
+
+def doc_keywords(df: DataFrame, id_col: str = "doc_id",
+                 text: str = "text", k: int = 3,
+                 max_df: int | None = None) -> DataFrame:
+    """Top-``k`` rarity-weighted terms per document -> (id, term, tf,
+    dl, df, score, rank): the per-document dual of tile_terms'
+    per-region profile — the tagging/labeling primitive of a corpus
+    browser. The score is the in-document share over the term's
+    document frequency,
+
+        score = ((tf * 1e6) div dl) / df
+
+    — tf-idf with the idf log dropped in favor of a raw 1/df rarity
+    weight, which keeps the whole score inside exact-integer territory
+    (one correctly-rounded IEEE division at the end; no ``ln`` ulp
+    wobble crossing a quantization boundary, the trade bm25_topk has
+    to document).
+
+    Scale: the exploded pairs pay ONE term-keyed exchange (tf + the
+    exact-df window ride it, same layout as build_postings); doc
+    length and the rank window ride ONE doc-keyed exchange. ``max_df``
+    cuts stopword terms before the doc-side shuffle. Rank breaks ties
+    by (higher raw score, then term asc) — a total order.
+    """
+    pairs = (df.select(F.col(id_col).cast("long").alias("id"),
+                       F.explode(_tokens(F.col(text))).alias("term"))
+             .repartition("term"))
+    tf = pairs.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    wd = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    if max_df is not None:
+        wd = wd.filter(F.col("df") <= int(max_df))
+    scored = (wd.join(dl, "id")
+              .withColumn("__share_fp", F.expr("(tf * 1000000) div dl"))
+              .withColumn("__score", F.col("__share_fp").cast("double")
+                          / F.col("df").cast("double")))
+    w = Window.partitionBy("id").orderBy(F.col("__score").desc(),
+                                         F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select("id", "term", "tf", "dl", "df",
+                    fp6(F.col("__score")).alias("score"), "rank"))
+
+
+def doc_keywords_sql(inner: str = "documents", id_col: str = "doc_id",
+                     text: str = "text", k: int = 3,
+                     max_df: int | None = None) -> str:
+    """DuckDB oracle twin of :func:`doc_keywords`."""
+    toks = _TOKS_SQL.format(text=text)
+    df_cut = f"WHERE df <= {int(max_df)}" if max_df is not None else ""
+    return f"""
+WITH pairs AS (
+  SELECT CAST({id_col} AS BIGINT) AS id, unnest({toks}) AS term
+  FROM {inner}
+), tf AS (
+  SELECT term, id, count(*) AS tf FROM pairs GROUP BY term, id
+), dl AS (
+  SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY id
+), wd AS (
+  SELECT term, id, tf, count(*) OVER (PARTITION BY term) AS df FROM tf
+), s AS (
+  SELECT wd.id, term, tf, dl, df,
+         (tf * 1000000) // dl AS share_fp
+  FROM (SELECT * FROM wd {df_cut}) wd JOIN dl USING (id)
+), r AS (
+  SELECT *, CAST(share_fp AS DOUBLE) / CAST(df AS DOUBLE) AS score_raw,
+         row_number() OVER (
+           PARTITION BY id
+           ORDER BY CAST(share_fp AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+                    term ASC) AS rank
+  FROM s
+)
+SELECT id, term, tf, dl, df, {fp6_sql('score_raw')} AS score, rank
+FROM r WHERE rank <= {int(k)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Geo-scoped keyword search (covering-index-backed bbox + term query)
+# ---------------------------------------------------------------------------
+
+def geo_text_search(df: DataFrame, term: str, min_lat: float,
+                    max_lat: float, min_lon: float, max_lon: float,
+                    k: int = 20, precision: int = 3, url: str = "url",
+                    text: str = "text", lat: str = "lat",
+                    lon: str = "lon") -> DataFrame:
+    """"Pages in THIS viewport mentioning THIS word" -> (url, lat, lon,
+    tf): the composed serving query of a geo web index. The bbox is
+    first decomposed into its geohash covering (the same
+    ``cover_polygon`` cells a tile index stores), applied as a
+    broadcast LEFT SEMI join on the encoded cell — at scale this is
+    the partition-pruning predicate against a cell-bucketed layout —
+    then refined with the exact (closed) bbox test; term frequency is
+    a native array filter; the global top-k is orderBy+limit, which
+    Catalyst executes as TakeOrderedAndProject (per-partition heaps +
+    driver merge — no single-partition window, no full sort).
+
+    Why a semi join and not ``isin``: a pushed InSet predicate on the
+    COMPUTED cell duplicates the whole geohash-encode expression tree
+    into the filter, which at p>=2 blows janino's 64KB method limit
+    and silently drops the stage to interpreted execution (measured;
+    same mechanics as the Hilbert expression-blowup lesson in
+    PLANS.md) — the semi join keeps the encode single and the stage
+    inside whole-stage codegen.
+
+    The DuckDB twin filters the bbox DIRECTLY with no covering
+    anywhere, so the gate value-checks the covering decomposition
+    itself (a dropped cell loses rows and mismatches). Bboxes crossing
+    the antimeridian must be issued as two calls (validated), same
+    contract as the corridor operators.
+    """
+    if not (min_lat <= max_lat and min_lon <= max_lon):
+        raise ValueError("bbox must satisfy min_lat<=max_lat and "
+                         "min_lon<=max_lon (split antimeridian queries "
+                         "into two calls)")
+    from ..kernels.polygon import cover_polygon
+    from .spatial_join import spatial_join
+
+    term = term.strip().lower()
+    wkt = (f"POLYGON(({min_lon} {min_lat}, {max_lon} {min_lat}, "
+           f"{max_lon} {max_lat}, {min_lon} {max_lat}, "
+           f"{min_lon} {min_lat}))")
+    cells = sorted(cover_polygon(wkt, precision, "intersects"))
+    spark = df.sparkSession
+    cov = spark.createDataFrame([(c,) for c in cells], "cell string")
+    tagged = spatial_join(df, cov, precision, how="left_semi")
+    tf = F.size(F.filter(_tokens(F.col(text)),
+                         lambda t: t == F.lit(term))).cast("long")
+    return (tagged
+            .filter((F.col(lat) >= F.lit(float(min_lat)))
+                    & (F.col(lat) <= F.lit(float(max_lat)))
+                    & (F.col(lon) >= F.lit(float(min_lon)))
+                    & (F.col(lon) <= F.lit(float(max_lon))))
+            .withColumn("tf", tf)
+            .filter(F.col("tf") > 0)
+            .select(url, lat, lon, "tf")
+            .orderBy(F.col("tf").desc(), F.col(url).asc())
+            .limit(int(k)))
+
+
+def geo_text_search_sql(inner: str, term: str, min_lat: float,
+                        max_lat: float, min_lon: float, max_lon: float,
+                        k: int = 20, url: str = "url", text: str = "text",
+                        lat: str = "lat", lon: str = "lon") -> str:
+    """INDEPENDENT DuckDB oracle of :func:`geo_text_search`: a direct
+    bbox filter — no geohash covering, no cells — plus the same token
+    filter and top-k rule."""
+    term_sql = term.strip().lower().replace("'", "''")
+    toks = _TOKS_SQL.format(text=text)
+    return f"""
+SELECT {url} AS url, {lat} AS lat, {lon} AS lon,
+       CAST(len(list_filter({toks}, t -> t = '{term_sql}')) AS BIGINT) AS tf
+FROM ({inner})
+WHERE {lat} >= {float(min_lat)!r} AND {lat} <= {float(max_lat)!r}
+  AND {lon} >= {float(min_lon)!r} AND {lon} <= {float(max_lon)!r}
+  AND len(list_filter({toks}, t -> t = '{term_sql}')) > 0
+ORDER BY tf DESC, url ASC LIMIT {int(k)}
 """

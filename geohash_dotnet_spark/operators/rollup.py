@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["time_rollup", "time_rollup_sql", "tile_pyramid",
-           "tile_pyramid_sql"]
+           "tile_pyramid_sql", "tile_freshness", "tile_freshness_sql"]
 
 
 def time_rollup(df: DataFrame, ts: str = "ts", value: str = "value",
@@ -124,3 +124,70 @@ def tile_pyramid_sql(inner: str, lat: str = "lat", lon: str = "lon",
             f"CAST(count(*) AS BIGINT) AS n_pages FROM ({inner}) "
             f"GROUP BY 2")
     return " UNION ALL ".join(parts)
+
+
+def tile_freshness(df: DataFrame, ts: str = "warc_ts", lat: str = "lat",
+                   lon: str = "lon", precision: int = 3,
+                   halflife_days: int = 7) -> DataFrame:
+    """Freshness-weighted tile popularity -> (tile, n_pages,
+    fresh_fp long, freshness double): each page contributes a weight
+    that HALVES per ``halflife_days`` of age relative to the newest
+    page in the input, so recently-crawled regions outrank stale ones
+    — the recency-biased serving layer of a crawl map (tile_trend is
+    the day-over-day delta; this is the exponentially-decayed level).
+
+    Portability by construction: age quantizes to WHOLE half-lives
+    (integer division of epoch-microsecond deltas — a staircase decay,
+    documented trade vs a continuous exp() whose cross-engine libm
+    wobble would break the value gate), the per-page weight is
+    ``1e6 // 2^e`` (power-of-two doubles are exact, floor-exact), and
+    weights are summed as BIGINT micro-units — order-free. ``freshness``
+    is ``fresh_fp / 1e6`` (one exact scaling).
+
+    Scale shape: the reference epoch is ONE scalar aggregate broadcast
+    back as a single row (same pattern as pagerank's teleport share);
+    the weight is then a pure projection and the tile aggregation is
+    the only corpus-keyed exchange, with map-side partials.
+    """
+    if halflife_days < 1:
+        raise ValueError(f"halflife_days must be >= 1, got {halflife_days}")
+    from ..functions.native import with_geohash
+
+    ref = df.agg(F.max(F.unix_micros(F.col(ts))).alias("__ref"))
+    pg = with_geohash(df.crossJoin(F.broadcast(ref)), lat, lon, precision,
+                      out="__tile")
+    hl_us = int(halflife_days) * 86_400_000_000
+    e = ((F.col("__ref") - F.unix_micros(F.col(ts))) / F.lit(hl_us)) \
+        .cast("long")
+    w_fp = (F.when(e >= 60, F.lit(0))
+            .otherwise(F.floor(F.lit(1000000.0) / F.pow(F.lit(2.0), e)))
+            .cast("long"))
+    return (pg.withColumn("__w", w_fp)
+            .groupBy(F.col("__tile").alias("tile"))
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum("__w").alias("fresh_fp"))
+            .withColumn("freshness",
+                        F.col("fresh_fp").cast("double") / F.lit(1e6)))
+
+
+def tile_freshness_sql(tagged_inner: str, ts: str = "warc_ts",
+                       halflife_days: int = 7) -> str:
+    """DuckDB oracle twin of :func:`tile_freshness`. ``tagged_inner``
+    must expose ``gh`` (the tile at the query's precision) and ``ts``."""
+    if halflife_days < 1:
+        raise ValueError(f"halflife_days must be >= 1, got {halflife_days}")
+    hl_us = int(halflife_days) * 86_400_000_000
+    e = (f"CAST((SELECT max(epoch_us({ts})) FROM t) - epoch_us({ts}) "
+         f"AS DOUBLE) / {hl_us} ")
+    # CAST(double AS BIGINT) rounds in DuckDB; trunc() matches Spark's
+    # double->long truncation
+    e = f"CAST(trunc({e}) AS BIGINT)"
+    w = (f"(CASE WHEN {e} >= 60 THEN 0 ELSE "
+         f"CAST(floor(1000000.0 / power(2.0, {e})) AS BIGINT) END)")
+    return f"""
+WITH t AS (SELECT * FROM ({tagged_inner}))
+SELECT gh AS tile, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum({w}) AS BIGINT) AS fresh_fp,
+       CAST(sum({w}) AS BIGINT) / 1e6 AS freshness
+FROM t GROUP BY gh
+"""

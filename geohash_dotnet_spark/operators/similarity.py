@@ -545,3 +545,174 @@ SELECT q_id, rank, vec_id, cosine FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+def _sqdist_fp6i(a_expr, b_expr):
+    """Squared L2 distance between two array expressions as exact
+    integer micro-units (floor(d*1e6 + 0.5) BIGINT) — the same
+    one-shared-IEEE-tree + fixed-point discipline as _cosine_fp6, but
+    integer-valued so per-subspace distances can be SUMMED order-free
+    (float sums are addition-order dependent; integer sums are not)."""
+    a = F.transform(a_expr, lambda x: x.cast("double"))
+    b = F.transform(b_expr, lambda x: x.cast("double"))
+    d = F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+    return F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def _pq_codebook(emb_df: DataFrame, n_sub: int, n_codes: int,
+                 vec_col: str, id_col: str):
+    """The deterministic demo codebook: the ``n_codes`` lowest-id
+    vectors, each split into ``n_sub`` sub-vectors (swap in offline
+    k-means sub-codebooks in production — the dataflow is identical;
+    cf. ivf_cosine_topk's quantizer note). Returns
+    (sub_dim, [[subvec lists] per centroid])."""
+    cents = (emb_df.filter(F.col(id_col) < n_codes)
+             .select(F.col(id_col).alias("cid"),
+                     F.col(vec_col).alias("c_vec")))
+    rows = sorted(cents.collect(), key=lambda r: r["cid"])  # bounded: n_codes
+    if len(rows) < n_codes:
+        raise ValueError(f"need {n_codes} codebook vectors, found {len(rows)}")
+    dim = len(rows[0]["c_vec"])
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
+    subs = [[list(r["c_vec"][m * sub_dim:(m + 1) * sub_dim])
+             for m in range(n_sub)] for r in rows]
+    return sub_dim, subs
+
+
+def pq_encode(emb_df: DataFrame, n_sub: int = 4, n_codes: int = 16,
+              vec_col: str = "embedding", id_col: str = "vec_id"
+              ) -> DataFrame:
+    """Product-quantization encoding: each vector compresses to
+    ``n_sub`` sub-codebook ids -> (id_col, codes array<long>). With
+    n_sub=4/n_codes=16 a 64-float embedding becomes 4 nibbles — the
+    64x compression that lets a 10^12-vector index live in RAM.
+
+    Shuffle-free by the _coarse_assign rule: the codebook is a bounded
+    driver artifact folded in as literals; per-subspace assignment is
+    a native array_min over (sqdist_fp6, cid) structs (lowest distance,
+    tie -> lowest code) — a pure projection, zero Exchange
+    (plan-asserted). Null/ragged vectors yield null distances and
+    degrade to the lowest code, matching the SQL twin's NULLS LAST
+    argmin ordering."""
+    sub_dim, subs = _pq_codebook(emb_df, n_sub, n_codes, vec_col, id_col)
+
+    def _lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    codes = []
+    for m in range(n_sub):
+        sl = F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
+        structs = [F.struct(
+            _sqdist_fp6i(sl, _lit_vec(subs[c][m])).alias("d"),
+            F.lit(c).cast("long").alias("c")) for c in range(n_codes)]
+        codes.append(F.array_min(F.array(*structs))["c"])
+    return emb_df.select(id_col, F.array(*codes).alias("codes"))
+
+
+def pq_topk(emb_df: DataFrame, queries_df: DataFrame, k: int,
+            n_sub: int = 4, n_codes: int = 16,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes -> (q_id, rank,
+    vec_id, adc_fp, adc): completes the ANN family (cosine_topk =
+    exact, lsh/ivf = candidate pruning, pq = compressed-domain
+    scoring). Each query precomputes a lookup table of fp6-integer
+    sub-distances to every sub-centroid; a corpus vector's approximate
+    distance is the INTEGER SUM of n_sub table lookups — order-free,
+    so Spark and the DuckDB twin agree bit-for-bit. Rank ascends by
+    (adc_fp, vec_id).
+
+    Scale shape: encoding is a zero-Exchange projection run once and
+    stored; the scoring join moves only (id, n_sub codes) — with the
+    defaults 16x fewer bytes through the scan+shuffle than raw
+    floats, which IS the PQ win. Queries broadcast (LUTs fold in as
+    literal expressions); the final per-query rank is the same
+    output-bounded window as cosine_topk. Compose with ivf-style list
+    pruning when even the code scan must shrink."""
+    encoded = pq_encode(emb_df, n_sub, n_codes, vec_col, id_col)
+    sub_dim, subs = _pq_codebook(emb_df, n_sub, n_codes, vec_col, id_col)
+
+    def _lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    joined = encoded.crossJoin(F.broadcast(
+        queries_df.select(q_id, q_vec)))
+    adc_fp = F.lit(0).cast("long")
+    for m in range(n_sub):
+        qs = F.slice(F.col(q_vec), m * sub_dim + 1, sub_dim)
+        lut = F.array(*[_sqdist_fp6i(qs, _lit_vec(subs[c][m]))
+                        for c in range(n_codes)])
+        adc_fp = adc_fp + F.element_at(
+            lut, F.element_at(F.col("codes"), m + 1).cast("int") + 1)
+    scored = joined.withColumn("adc_fp", adc_fp)
+    w = Window.partitionBy(q_id).orderBy(F.col("adc_fp").asc(),
+                                         F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, "rank", id_col, "adc_fp",
+                    (F.col("adc_fp").cast("double") / F.lit(1e6))
+                    .alias("adc")))
+
+
+def _sqdist_fp6i_sql(a: str, b: str) -> str:
+    """DuckDB twin of _sqdist_fp6i (list_sum matches the left fold,
+    same contract as _cosine_fp6_sql)."""
+    return (f"CAST(floor(list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) "
+            f"* 1000000.0 + 0.5) AS BIGINT)")
+
+
+def pq_topk_sql(k: int, query_ids: list[int], n_sub: int = 4,
+                n_codes: int = 16, dim: int = 64,
+                inner: str = "embeddings") -> str:
+    """Full DuckDB oracle of pq_topk — an INDEPENDENT relational
+    formulation: sub-distances come from a (vector x subspace x
+    centroid) cross join with QUALIFY argmin (vs Spark's literal-folded
+    array_min projection), the LUT is a real joined table (vs folded
+    literals), and the ADC sum is a GROUP BY. Only the fp6-integer
+    sub-distance expression is shared."""
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sd = dim // n_sub
+    ids = ", ".join(str(i) for i in query_ids)
+    e_slice = f"list_slice(e.embedding, m.m * {sd} + 1, (m.m + 1) * {sd})"
+    c_slice = f"list_slice(c.c_vec, m.m * {sd} + 1, (m.m + 1) * {sd})"
+    q_slice = f"list_slice(q.q_vec, m.m * {sd} + 1, (m.m + 1) * {sd})"
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS c_vec FROM {inner}
+  WHERE vec_id < {n_codes}
+), m AS (SELECT unnest(range({n_sub})) AS m),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM {inner}
+  WHERE vec_id IN ({ids})
+), codes AS (
+  SELECT e.vec_id, m.m, c.cid,
+         {_sqdist_fp6i_sql(e_slice, c_slice)} AS dfp
+  FROM {inner} e CROSS JOIN m CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id, m.m
+                             ORDER BY dfp ASC NULLS LAST, cid ASC) = 1
+), lut AS (
+  SELECT q.q_id, m.m, c.cid,
+         {_sqdist_fp6i_sql(q_slice, c_slice)} AS dfp
+  FROM q CROSS JOIN m CROSS JOIN cents c
+), adc AS (
+  SELECT l.q_id, co.vec_id, CAST(sum(l.dfp) AS BIGINT) AS adc_fp
+  FROM codes co JOIN lut l ON co.m = l.m AND co.cid = l.cid
+  GROUP BY l.q_id, co.vec_id
+)
+SELECT q_id, rank, vec_id, adc_fp, CAST(adc_fp AS DOUBLE) / 1e6 AS adc
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_fp ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""

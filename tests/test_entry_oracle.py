@@ -102,7 +102,7 @@ def test_window_boundary():
         "tile_hotspots", "tile_moran", "events_range_join",
         "events_time_rollup", "nearest_city", "tile_quality_dist",
         "minhash_pairs", "simhash_pairs", "token_stats",
-        "winnow_fingerprints", "repetition_stats", "boilerplate_stats",
+        "winnow_fingerprints", "boilerplate_stats",
         "stratified_sample", "pii_scrub", "curation_pipeline",
         # NOTE: gh_decode / gh_bbox / gh_neighbors / gh_neighbor /
         # gh_children / gh_validity / gh_distance_cells were displaced
@@ -112,19 +112,26 @@ def test_window_boundary():
         # they are thin wrappers over kernels pinned by reference goldens
         # and hypothesis round-trips (test_kernel_geohash.py), so they
         # are the lowest-risk keys to leave on an r3-green row.
-        "circle_join",
         # NOTE: salted_join / geofence_ring were displaced by
         # place_profiles / bearing_rose (r5 batch 3): r3-green,
         # unchanged; salting row-invariance + no-big-side-shuffle plan
         # shapes are pinned in test_operators_spark / test_plan_shapes,
         # and geofence_ring derives purely from the golden-pinned
         # cover_polygon sets.
-        "gh_grid_viewport",
         # NOTE: tile_counts_p2 was displaced by link_graph (r5 batch
         # 5): its p2 tile aggregation is the exact sub-shape of the
         # in-window tile_rollup / tile_pyramid ladders, r3-green,
         # unchanged.
-        "tile_rollup", "spatial_join_rect", "knn",
+        # NOTE: r5 batch 6 (tile_skew, tile_freshness, doc_keywords,
+        # geo_text_search, pq_topk, crawl_slots) displaced knn (subset
+        # of the in-window 96-query knn_table), tile_rollup (sub-shape
+        # of the in-window tile_pyramid), spatial_join_rect (same
+        # cover+semi-join+refine pipeline as in-window
+        # spatial_join_refined), circle_join (circle kernel shared with
+        # in-window cover_circles_table), gh_grid_viewport (pure grid
+        # math pinned by exact-dyadic goldens), repetition_stats (same
+        # token machinery as in-window token_stats) — all r3-green and
+        # unchanged since.
         "knn_table",
         # the flagship is re-checked every round
         "flagship",
@@ -144,4 +151,6 @@ NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
              "adaptive_cells", "hilbert_shards", "tile_entropy",
              "distance_bands", "tile_pyramid", "visit_recurrence",
              "hilbert_bbox", "place_profiles", "bearing_rose",
-             "tile_terms", "link_graph", "host_reach"}
+             "tile_terms", "link_graph", "host_reach",
+             "tile_skew", "tile_freshness", "doc_keywords",
+             "geo_text_search", "pq_topk", "crawl_slots"}

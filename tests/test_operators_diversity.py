@@ -167,3 +167,53 @@ def test_tile_terms_validation(spark):
         tile_terms(None, k=0)
     with pytest.raises(ValueError):
         tile_terms(None, min_count=0)
+
+
+# ---------------------------------------------------------------------------
+# tile_skew
+# ---------------------------------------------------------------------------
+
+def test_tile_skew_hand_computed(spark):
+    """1 page in tile A, 3 in tile B: sorted n = [1, 3], rn = [1, 2],
+    wsum = 7 -> G = (2*7 - 3*4) / (2*4) = 0.25; top = B with share 0.75."""
+    from geohash_dotnet_spark.operators.diversity import tile_skew
+
+    rows = ([("a0", 10.0, 10.0, "en")]
+            + [(f"b{i}", 10.0, 60.0, "en") for i in range(3)])
+    out = tile_skew(_docs(spark, rows), precision=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_tiles"] == 2 and r["n_pages"] == 4
+    assert r["top_n"] == 3 and r["top_share"] == 0.75
+    assert r["gini"] == 0.25
+
+
+def test_tile_skew_uniform_is_zero(spark):
+    from geohash_dotnet_spark.operators.diversity import tile_skew
+
+    rows = ([(f"a{i}", 10.0, 10.0, "en") for i in range(2)]
+            + [(f"b{i}", 10.0, 60.0, "en") for i in range(2)])
+    r = tile_skew(_docs(spark, rows), precision=2).collect()[0]
+    assert r["gini"] == 0.0 and r["top_share"] == 0.5
+
+
+def test_tile_skew_top_tie_lowest_tile(spark):
+    """Equal occupancy: the top-tile witness breaks to the lexicographically
+    lowest tile (struct-min on (-n, tile))."""
+    from geohash_dotnet_spark.functions.native import with_geohash
+    from geohash_dotnet_spark.operators.diversity import tile_skew
+
+    rows = [("a0", 10.0, 10.0, "en"), ("b0", 10.0, 60.0, "en")]
+    df = _docs(spark, rows)
+    tiles = sorted(r["gh"] for r in
+                   with_geohash(df, "lat", "lon", 2).select("gh").collect())
+    r = tile_skew(df, precision=2).collect()[0]
+    assert r["top_tile"] == tiles[0]
+
+
+def test_tile_skew_validation(spark):
+    from geohash_dotnet_spark.operators.diversity import tile_skew
+
+    for bad in (0, 5):
+        with pytest.raises(ValueError):
+            tile_skew(None, precision=bad)

@@ -113,3 +113,108 @@ def test_bm25_rank_deterministic_under_layout(spark, sf_small):
          for r in bm25_topk(docs.repartition(7), q, k=8)
          .orderBy("qid", "rank").collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# doc_keywords
+# ---------------------------------------------------------------------------
+
+def test_doc_keywords_hand_scores(spark, tiny):
+    """doc 1 = 'apple banana apple': dl=3, share_fp(apple) = 2e6 div 3 =
+    666666, df(apple)=2 -> score 333333.0; banana 333333/2 = 166666.5."""
+    from geohash_dotnet_spark.operators.index import doc_keywords
+
+    out = {(r["id"], r["term"]): r.asDict()
+           for r in doc_keywords(tiny, k=4).collect()}
+    a = out[(1, "apple")]
+    assert (a["tf"], a["dl"], a["df"]) == (2, 3, 2)
+    assert a["score"] == 333333.0 and a["rank"] == 1
+    assert out[(1, "banana")]["score"] == 166666.5
+
+
+def test_doc_keywords_tie_breaks_term_asc(spark, tiny):
+    """doc 3 = 'apple cherry cherry date': cherry and date tie at
+    250000.0 -> cherry (term asc) takes rank 1, date rank 2."""
+    from geohash_dotnet_spark.operators.index import doc_keywords
+
+    d3 = {r["rank"]: r["term"] for r in
+          doc_keywords(tiny, k=3).collect() if r["id"] == 3}
+    assert d3 == {1: "cherry", 2: "date", 3: "apple"}
+
+
+def test_doc_keywords_max_df_cut(spark, tiny):
+    """max_df=1 removes every term present in 2+ docs before the
+    doc-side shuffle; only 'date' survives."""
+    from geohash_dotnet_spark.operators.index import doc_keywords
+
+    rows = doc_keywords(tiny, k=3, max_df=1).collect()
+    assert [(r["id"], r["term"]) for r in rows] == [(3, "date")]
+
+
+def test_doc_keywords_no_python_in_plan(spark, tiny):
+    from geohash_dotnet_spark.operators.index import doc_keywords
+
+    out = doc_keywords(tiny, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# geo_text_search
+# ---------------------------------------------------------------------------
+
+def _geo_pages(spark):
+    rows = [
+        ("https://x/a/1/0", 5.0, 5.0, "hello spark world"),
+        ("https://x/a/2/0", 10.0, 10.0, "spark spark engine"),
+        ("https://x/a/3/0", 15.0, 15.0, "no match here"),
+        ("https://x/a/4/0", 55.0, 5.0, "spark outside bbox"),
+        ("https://x/a/5/0", 5.0, 55.0, "spark also outside"),
+        ("https://x/a/6/0", 20.0, 20.0, "edge Spark inclusive"),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, lat double, lon double, text string")
+
+
+def test_geo_text_search_bbox_and_tf(spark):
+    """Only in-bbox pages containing the term, ranked tf desc then url
+    asc; the closed bbox keeps the (20, 20) edge page; matching is
+    case-normalized on BOTH sides (term strip/lower, tokens lower)."""
+    from geohash_dotnet_spark.operators.index import geo_text_search
+
+    out = geo_text_search(_geo_pages(spark), " SPARK ", 0.0, 20.0,
+                          0.0, 20.0, k=10, precision=2).collect()
+    assert [(r["url"], r["tf"]) for r in out] == [
+        ("https://x/a/2/0", 2), ("https://x/a/1/0", 1),
+        ("https://x/a/6/0", 1)]
+
+
+def test_geo_text_search_k_truncates(spark):
+    from geohash_dotnet_spark.operators.index import geo_text_search
+
+    out = geo_text_search(_geo_pages(spark), "spark", 0.0, 20.0,
+                          0.0, 20.0, k=1, precision=2).collect()
+    assert [(r["url"], r["tf"]) for r in out] == [("https://x/a/2/0", 2)]
+
+
+def test_geo_text_search_validation(spark):
+    from geohash_dotnet_spark.operators.index import geo_text_search
+
+    with pytest.raises(ValueError):
+        geo_text_search(None, "x", 10.0, 0.0, 0.0, 20.0)
+    with pytest.raises(ValueError):
+        geo_text_search(None, "x", 0.0, 10.0, 170.0, -170.0)
+
+
+def test_geo_text_search_plan_semi_join_no_python(spark):
+    """The covering prune is a broadcast LEFT SEMI join (no InSet blowup
+    of the encode tree) and the whole pipeline stays JVM-side."""
+    from geohash_dotnet_spark.operators.index import geo_text_search
+
+    out = geo_text_search(_geo_pages(spark), "spark", 0.0, 20.0,
+                          0.0, 20.0, k=5, precision=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -1,6 +1,6 @@
 """Hypertable-style time rollup (operators/rollup.py)."""
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 from pyspark.sql import functions as F
@@ -109,3 +109,67 @@ def test_tile_pyramid_validation():
         tile_pyramid(None, max_z=0)
     with pytest.raises(ValueError):
         tile_pyramid(None, max_z=21)
+
+
+# ---------------------------------------------------------------------------
+# tile_freshness
+# ---------------------------------------------------------------------------
+
+def _fresh_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, lat double, lon double, warc_ts timestamp")
+
+
+def test_tile_freshness_halflife_staircase(spark):
+    """Ages 0 / 3.5d / 7d / 14d / 70d at halflife 7d quantize to whole
+    half-lives e = 0, 0, 1, 2, 10 -> weights 1e6, 1e6, 5e5, 2.5e5,
+    floor(1e6/1024) = 976 micro-units, summed exactly."""
+    from geohash_dotnet_spark.operators.rollup import tile_freshness
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    ages_h = [0, 84, 168, 336, 1680]  # hours
+    rows = [(f"u{i}", 10.0, 10.0, base - timedelta(hours=h))
+            for i, h in enumerate(ages_h)]
+    out = tile_freshness(_fresh_df(spark, rows), ts="warc_ts",
+                         precision=2, halflife_days=7).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pages"] == 5
+    assert r["fresh_fp"] == 1_000_000 + 1_000_000 + 500_000 + 250_000 + 976
+    assert r["freshness"] == r["fresh_fp"] / 1e6
+
+
+def test_tile_freshness_ancient_pages_weigh_zero(spark):
+    """e >= 60 clamps to weight 0 (beyond double-exact 2^e territory)."""
+    from geohash_dotnet_spark.operators.rollup import tile_freshness
+
+    base = datetime(2024, 3, 1)
+    rows = [("new", 10.0, 10.0, base),
+            ("old", 10.0, 10.0, base - timedelta(days=7 * 61))]
+    r = tile_freshness(_fresh_df(spark, rows), ts="warc_ts",
+                       precision=2, halflife_days=7).collect()[0]
+    assert r["n_pages"] == 2 and r["fresh_fp"] == 1_000_000
+
+
+def test_tile_freshness_single_corpus_exchange(spark):
+    """The reference-epoch scalar broadcasts; the only hashpartitioning
+    Exchange is the tile aggregation."""
+    from geohash_dotnet_spark.operators.rollup import tile_freshness
+    from geohash_dotnet_spark.sources.pages import pages
+
+    out = tile_freshness(pages(spark, "/root/testdata/sf0.001"),
+                         precision=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in final
+    assert "ArrowEvalPython" not in final
+
+
+def test_tile_freshness_validation():
+    from geohash_dotnet_spark.operators.rollup import tile_freshness
+
+    with pytest.raises(ValueError):
+        tile_freshness(None, halflife_days=0)
