@@ -163,6 +163,7 @@ from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     semantic_dedup_sql,
 )
 from geohash_dotnet_spark.operators.crawl import crawl_slots_sql  # noqa: E402
+from geohash_dotnet_spark.operators.raster import hot_regions_sql  # noqa: E402
 from geohash_dotnet_spark.operators.adaptive import adaptive_cells_sql  # noqa: E402
 from geohash_dotnet_spark.operators.layout import (  # noqa: E402
     hilbert_bbox_tiles_sql,
@@ -2023,6 +2024,18 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(emb, qs, k=10).orderBy("q_id", "rank")
 
 
+def q_hot_regions(spark, sf_dir):
+    """Raster -> vector: 5-degree fixed-point occupancy raster,
+    thresholded, 4-adjacency connected components (hash-to-min +
+    pointer jumping) -> vector regions with bbox + mass. Oracle
+    replays the same integer raster but labels via an independent
+    recursive-CTE min-label closure."""
+    from geohash_dotnet_spark.operators.raster import hot_regions
+
+    return hot_regions(_pages(spark, sf_dir), cell_udeg=5_000_000,
+                       min_pages=3)
+
+
 def q_crawl_slots(spark, sf_dir):
     """Polite per-site fetch schedule: (ts, url)-ordered row_number
     inside one site-keyed exchange, integer-division slot ids, min-url
@@ -2060,7 +2073,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_covering": q_compress_covering,
         "exact_dedup_groups": q_exact_dedup_groups,
         "dedup_clusters": q_dedup_clusters,
-        "latest_snapshot": q_latest_snapshot,
         "event_sessions": q_event_sessions,
         "cover_tracks": q_cover_tracks,
         "tile_trend": q_tile_trend,
@@ -2088,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_text_search": q_geo_text_search,
         "pq_topk": q_pq_topk,
         "crawl_slots": q_crawl_slots,
+        "hot_regions": q_hot_regions,
         # --- NEW in r5 (must-check; slots 40-48)
         "knn_sites": q_knn_sites,
         "stay_points": q_stay_points,
@@ -2139,12 +2152,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # math pinned by exact-dyadic goldens in tests + the all-keys
         # replica), repetition_stats (same token machinery as the
         # in-window token_stats; pinned by pytest goldens).
+        # hot_regions (r5 batch 7) displaced latest_snapshot: r3-green,
+        # unchanged since; its struct-max shape is pinned by the
+        # window-equivalence + no-Window/Sort plan pytests and the
+        # all-keys local replica.
         "knn": q_knn,
         "tile_rollup": q_tile_rollup,
         "spatial_join_rect": q_spatial_join_rect,
         "circle_join": q_circle_join,
         "gh_grid_viewport": q_gh_grid,
         "repetition_stats": q_repetition_stats,
+        "latest_snapshot": q_latest_snapshot,
         "tile_counts_p2": q_tile_counts_p2,
         "tile_smooth": q_tile_smooth,
         "quadkey_tiles": q_quadkey_tiles,
@@ -2475,6 +2493,8 @@ def oracle_sql() -> dict[str, str]:
                                                k=20, **GTS_BBOX),
         "pq_topk": pq_topk_sql(10, [0, 1, 2, 3, 4], dim=64),
         "crawl_slots": crawl_slots_sql(pages_sql(REP), rate=16),
+        "hot_regions": hot_regions_sql(pages_sql(REP), cell_udeg=5_000_000,
+                                       min_pages=3),
         "link_graph": link_host_edges_sql(
             planted_anchors_sql(pages_sql(REP)),
             src_host_re="https?://[^/]+/([^/]+)"),

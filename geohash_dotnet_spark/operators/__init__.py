@@ -86,6 +86,7 @@ from .lm import (  # noqa: F401
 )
 from .diversity import tile_skew  # noqa: F401
 from .hotspots import focal_hotspots, moran_i, tile_anomaly  # noqa: F401
+from .raster import hot_regions, rasterize  # noqa: F401
 from .rollup import tile_freshness, time_rollup  # noqa: F401
 from .sessions import sessionize  # noqa: F401
 from .tracks import corridor_join, cover_tracks, snap_to_route  # noqa: F401

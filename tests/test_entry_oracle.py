@@ -92,7 +92,7 @@ def test_window_boundary():
         # last driver-checked in r3 or earlier (stale going into r5)
         "gh_encode_p5", "cover_california", "cover_circles_table",
         "spatial_join_refined", "compress_covering", "exact_dedup_groups",
-        "dedup_clusters", "latest_snapshot",
+        "dedup_clusters",
         # NOTE: quadkey_tiles was displaced by tile_terms (r5 batch 4):
         # r3-green, unchanged, pure native tile math pinned by the
         # goldens in tests/test_tiles.py.
@@ -104,6 +104,9 @@ def test_window_boundary():
         "minhash_pairs", "simhash_pairs", "token_stats",
         "winnow_fingerprints", "boilerplate_stats",
         "stratified_sample", "pii_scrub", "curation_pipeline",
+        # NOTE: hot_regions (r5 batch 7) displaced latest_snapshot:
+        # r3-green, unchanged; struct-max shape pinned by the
+        # window-equivalence + plan-shape pytests.
         # NOTE: gh_decode / gh_bbox / gh_neighbors / gh_neighbor /
         # gh_children / gh_validity / gh_distance_cells were displaced
         # from the window by the second and third batches of r5
@@ -153,4 +156,4 @@ NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
              "hilbert_bbox", "place_profiles", "bearing_rose",
              "tile_terms", "link_graph", "host_reach",
              "tile_skew", "tile_freshness", "doc_keywords",
-             "geo_text_search", "pq_topk", "crawl_slots"}
+             "geo_text_search", "pq_topk", "crawl_slots", "hot_regions"}
