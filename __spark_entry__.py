@@ -176,8 +176,10 @@ from geohash_dotnet_spark.operators.diversity import (  # noqa: E402
     tile_terms_sql,
 )
 from geohash_dotnet_spark.operators.links import (  # noqa: E402
+    anchor_term_index_sql,
     link_host_edges_sql,
     planted_anchors_sql,
+    planted_rich_anchors_sql,
 )
 from geohash_dotnet_spark.operators.text import (  # noqa: E402
     char_entropy_sql_expr,
@@ -2024,6 +2026,18 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(emb, qs, k=10).orderBy("q_id", "rank")
 
 
+def q_anchor_terms(spark, sf_dir):
+    """Anchor-text index over the rich-planted host graph: for each
+    target host, the terms the web links to it with — n_links plus the
+    spam-resistant distinct-source-host count. The html payload dies in
+    the scan stage (plan-asserted in tests)."""
+    from geohash_dotnet_spark.operators.links import (
+        anchor_term_index, with_planted_rich_anchors)
+
+    pg = with_planted_rich_anchors(pages(spark, sf_dir, replicate=REP))
+    return anchor_term_index(pg, src_host_re="https?://[^/]+/([^/]+)")
+
+
 def q_hot_regions(spark, sf_dir):
     """Raster -> vector: 5-degree fixed-point occupancy raster,
     thresholded, 4-adjacency connected components (hash-to-min +
@@ -2086,7 +2100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "boilerplate_stats": q_boilerplate_stats,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
@@ -2101,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "crawl_slots": q_crawl_slots,
         "hot_regions": q_hot_regions,
+        "anchor_terms": q_anchor_terms,
         # --- NEW in r5 (must-check; slots 40-48)
         "knn_sites": q_knn_sites,
         "stay_points": q_stay_points,
@@ -2155,8 +2169,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hot_regions (r5 batch 7) displaced latest_snapshot: r3-green,
         # unchanged since; its struct-max shape is pinned by the
         # window-equivalence + no-Window/Sort plan pytests and the
-        # all-keys local replica.
+        # all-keys local replica. anchor_terms (batch 7) displaced
+        # boilerplate_stats: r3-green, unchanged; same ngram/token
+        # machinery as the in-window token_stats + curation_pipeline
+        # (which composes the boilerplate stage under the value gate).
         "knn": q_knn,
+        "boilerplate_stats": q_boilerplate_stats,
         "tile_rollup": q_tile_rollup,
         "spatial_join_rect": q_spatial_join_rect,
         "circle_join": q_circle_join,
@@ -2497,6 +2515,9 @@ def oracle_sql() -> dict[str, str]:
                                        min_pages=3),
         "link_graph": link_host_edges_sql(
             planted_anchors_sql(pages_sql(REP)),
+            src_host_re="https?://[^/]+/([^/]+)"),
+        "anchor_terms": anchor_term_index_sql(
+            planted_rich_anchors_sql(pages_sql(REP)),
             src_host_re="https?://[^/]+/([^/]+)"),
         "distance_bands": distance_bands_sql(
             pages_sql(REP), 40.0, -100.0, band_m=500_000, n_bands=30),

@@ -42,7 +42,10 @@ from .dedup import md5_60bit, md5_60bit_sql
 __all__ = ["extract_links", "extract_links_sql",
            "link_host_edges", "link_host_edges_sql",
            "with_planted_anchors", "planted_anchors_sql",
-           "HREF_RE", "HOST_RE"]
+           "extract_anchor_texts", "extract_anchor_texts_sql",
+           "anchor_term_index", "anchor_term_index_sql",
+           "with_planted_rich_anchors", "planted_rich_anchors_sql",
+           "HREF_RE", "HOST_RE", "ANCHOR_TAG_RE", "ANCHOR_VOCAB"]
 
 # Portable under both Java regex and RE2: literal anchor, one capture,
 # negated-class body (no lazy quantifiers, no lookaround).
@@ -166,6 +169,161 @@ def planted_anchors_sql(pages_inner: str, n_hosts: int = 97,
         t = f"({h}) % {int(n_hosts)}"
         a = (f"'<a href=\"https://site-' || CAST({t} AS VARCHAR) || "
              f"'.example/p/{j}\">l{j}</a>'")
+        anchors.append(f"CASE WHEN {j} < {n} THEN {a} ELSE '' END")
+    body = " || ".join(["'<html><body>'", "text"] + anchors
+                       + ["'</body></html>'"])
+    return f"SELECT url, {body} AS html_s FROM ({pages_inner})"
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text extraction + index ("what the web calls this host")
+# ---------------------------------------------------------------------------
+
+# Whole-tag match (group 0): href body and text body are negated
+# classes, portable Java-regex/RE2, no backtracking.
+ANCHOR_TAG_RE = '<a href="[^"]*">[^<]*</a>'
+ANCHOR_TEXT_RE = ">([^<]*)</a>"
+
+# deterministic link-text vocabulary for the rich planting builder
+ANCHOR_VOCAB = ("maps", "news", "shop", "blog", "wiki",
+                "forum", "docs", "mail")
+
+
+def extract_anchor_texts(df: DataFrame, html: str = "html",
+                         url: str = "url") -> DataFrame:
+    """-> (url, pos int, link, link_host, anchor): like
+    :func:`extract_links` but also captures the link TEXT — the
+    relevance signal web search has ranked on since WWW1 ("anchor text
+    describes the target better than the target describes itself").
+
+    Same scale shape as extract_links: whole-tag regexp_extract_all in
+    the scan projection (one decode, group 0), THEN per-element href /
+    text extraction on the exploded rows — the html payload never
+    crosses an exchange; Spark can't extract two groups in one
+    regexp_extract_all pass, so the tag explode is the split point.
+    """
+    tags = F.expr(
+        f"regexp_extract_all(decode({html}, 'UTF-8'), '{ANCHOR_TAG_RE}', 0)")
+    return (df
+            .select(F.col(url).alias("url"),
+                    F.posexplode(tags).alias("pos", "tag"))
+            .select("url", "pos",
+                    F.regexp_extract("tag", '<a href="([^"]+)"', 1)
+                    .alias("link"),
+                    F.regexp_extract("tag", ANCHOR_TEXT_RE, 1)
+                    .alias("anchor"))
+            .withColumn("link_host",
+                        F.regexp_extract("link", HOST_RE, 1))
+            .select("url", "pos", "link", "link_host", "anchor"))
+
+
+def extract_anchor_texts_sql(pages_html_inner: str) -> str:
+    """DuckDB twin of :func:`extract_anchor_texts` (``html_s`` VARCHAR
+    convention, same as extract_links_sql)."""
+    return f"""
+SELECT url, pos,
+       regexp_extract(tag, '<a href="([^"]+)"', 1) AS link,
+       regexp_extract(regexp_extract(tag, '<a href="([^"]+)"', 1),
+                      '{HOST_RE}', 1) AS link_host,
+       regexp_extract(tag, '{ANCHOR_TEXT_RE}', 1) AS anchor
+FROM (
+  SELECT url, CAST(unnest(range(len(ts))) AS INT) AS pos,
+         unnest(ts) AS tag
+  FROM (SELECT url, regexp_extract_all(html_s, '{ANCHOR_TAG_RE}', 0) AS ts
+        FROM ({pages_html_inner}))
+)
+"""
+
+
+def anchor_term_index(df: DataFrame, html: str = "html",
+                      url: str = "url",
+                      src_host_re: str = HOST_RE) -> DataFrame:
+    """-> (dst_host, term, n_links long, n_src_hosts long): the
+    host-level anchor-text index — for each target host, the terms the
+    rest of the web uses when linking to it, with link counts and the
+    number of DISTINCT source hosts using the term (the spam-resistant
+    count: one link farm repeating a term is one source host).
+
+    Scale: terms explode from the (already html-free) anchor rows; one
+    corpus-scale exchange keyed by (dst_host, term, src_host) carries
+    map-side-combined partials, then a bounded (dst_host, term)
+    aggregation. Relative links (no host) are excluded; empty anchor
+    texts tokenize to nothing and drop out.
+    """
+    ex = extract_anchor_texts(df, html=html, url=url)
+    from .text import _tokens
+
+    terms = (ex.where(F.col("link_host") != F.lit(""))
+             .select(F.regexp_extract("url", src_host_re, 1)
+                     .alias("src_host"),
+                     F.col("link_host").alias("dst_host"),
+                     F.explode(_tokens(F.col("anchor"))).alias("term"))
+             .where(F.col("term") != F.lit("")))
+    per_src = (terms.groupBy("dst_host", "term", "src_host")
+               .agg(F.count(F.lit(1)).alias("n")))
+    return (per_src.groupBy("dst_host", "term")
+            .agg(F.sum("n").alias("n_links"),
+                 F.count(F.lit(1)).alias("n_src_hosts")))
+
+
+def anchor_term_index_sql(pages_html_inner: str,
+                          src_host_re: str = HOST_RE) -> str:
+    """DuckDB twin of :func:`anchor_term_index`."""
+    ex = extract_anchor_texts_sql(pages_html_inner)
+    return f"""
+SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+FROM (
+  SELECT regexp_extract(url, '{src_host_re}', 1) AS src_host,
+         link_host AS dst_host,
+         unnest(string_split_regex(trim(lower(anchor)), '\\s+')) AS term
+  FROM ({ex}) WHERE link_host <> ''
+) WHERE term <> ''
+GROUP BY 1, 2
+"""
+
+
+def with_planted_rich_anchors(df: DataFrame, url: str = "url",
+                              text: str = "text", n_hosts: int = 97,
+                              max_links: int = 3,
+                              out: str = "html") -> DataFrame:
+    """Like :func:`with_planted_anchors` but each anchor's link text is
+    a hash-chosen word from :data:`ANCHOR_VOCAB` (instead of the
+    constant ``l{j}``), so anchor-text operators have a non-degenerate
+    term distribution to aggregate. Pure projection, zero shuffle;
+    :func:`planted_rich_anchors_sql` rebuilds identical bytes."""
+    if max_links < 1 or n_hosts < 1:
+        raise ValueError(f"max_links/n_hosts must be >= 1, got "
+                         f"{max_links}/{n_hosts}")
+    n = F.pmod(md5_60bit(F.col(url)), F.lit(int(max_links) + 1))
+    parts = [F.lit("<html><body>"), F.col(text)]
+    for j in range(max_links):
+        t = F.pmod(md5_60bit(F.concat(F.col(url), F.lit(f"#l{j}"))),
+                   F.lit(int(n_hosts)))
+        w = F.pmod(md5_60bit(F.concat(F.col(url), F.lit(f"#w{j}"))),
+                   F.lit(len(ANCHOR_VOCAB)))
+        word = F.element_at(F.array(*[F.lit(v) for v in ANCHOR_VOCAB]),
+                            w.cast("int") + 1)
+        a = F.concat(F.lit('<a href="https://site-'), t.cast("string"),
+                     F.lit(f'.example/p/{j}">'), word, F.lit("</a>"))
+        parts.append(F.when(F.lit(j) < n, a).otherwise(F.lit("")))
+    parts.append(F.lit("</body></html>"))
+    return df.withColumn(out, F.encode(F.concat(*parts), "utf-8"))
+
+
+def planted_rich_anchors_sql(pages_inner: str, n_hosts: int = 97,
+                             max_links: int = 3) -> str:
+    """DuckDB twin of :func:`with_planted_rich_anchors` (url + html_s)."""
+    n = f"({md5_60bit_sql('url')}) % {int(max_links) + 1}"
+    vocab = ", ".join(f"'{v}'" for v in ANCHOR_VOCAB)
+    anchors = []
+    for j in range(max_links):
+        h = md5_60bit_sql(f"url || '#l{j}'")
+        t = f"({h}) % {int(n_hosts)}"
+        hw = md5_60bit_sql(f"url || '#w{j}'")
+        w = f"list_value({vocab})[CAST(({hw}) % {len(ANCHOR_VOCAB)} AS INT) + 1]"
+        a = (f"'<a href=\"https://site-' || CAST({t} AS VARCHAR) || "
+             f"'.example/p/{j}\">' || {w} || '</a>'")
         anchors.append(f"CASE WHEN {j} < {n} THEN {a} ELSE '' END")
     body = " || ".join(["'<html><body>'", "text"] + anchors
                        + ["'</body></html>'"])

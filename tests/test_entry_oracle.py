@@ -102,7 +102,12 @@ def test_window_boundary():
         "tile_hotspots", "tile_moran", "events_range_join",
         "events_time_rollup", "nearest_city", "tile_quality_dist",
         "minhash_pairs", "simhash_pairs", "token_stats",
-        "winnow_fingerprints", "boilerplate_stats",
+        "winnow_fingerprints",
+        # NOTE: boilerplate_stats was displaced by anchor_terms (r5
+        # batch 7): r3-green, unchanged; the in-window
+        # curation_pipeline composes the boilerplate stage under the
+        # value gate, and its ngram/token machinery is shared with the
+        # in-window token_stats.
         "stratified_sample", "pii_scrub", "curation_pipeline",
         # NOTE: hot_regions (r5 batch 7) displaced latest_snapshot:
         # r3-green, unchanged; struct-max shape pinned by the
@@ -156,4 +161,5 @@ NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
              "hilbert_bbox", "place_profiles", "bearing_rose",
              "tile_terms", "link_graph", "host_reach",
              "tile_skew", "tile_freshness", "doc_keywords",
-             "geo_text_search", "pq_topk", "crawl_slots", "hot_regions"}
+             "geo_text_search", "pq_topk", "crawl_slots", "hot_regions",
+             "anchor_terms"}

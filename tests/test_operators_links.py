@@ -103,3 +103,94 @@ def test_validation():
         with_planted_anchors(None, max_links=0)
     with pytest.raises(ValueError):
         with_planted_anchors(None, n_hosts=0)
+
+
+# ---------------------------------------------------------------------------
+# anchor-text extraction + index
+# ---------------------------------------------------------------------------
+
+def test_extract_anchor_texts_known_page(spark):
+    from geohash_dotnet_spark.operators.links import extract_anchor_texts
+
+    html = ('<html><body><a href="https://a.example/x">City Maps</a> '
+            '<a href="/rel">local</a> '
+            '<a href="http://b.example/y"></a>'
+            '<a href="https://c.example/z">one  two</a></body></html>')
+    out = (extract_anchor_texts(_html_df(spark, [("u1", html)]))
+           .orderBy("pos").collect())
+    assert [(r["pos"], r["link_host"], r["anchor"]) for r in out] == [
+        (0, "a.example", "City Maps"),
+        (1, "", "local"),
+        (2, "b.example", ""),      # empty anchor text kept at this layer
+        (3, "c.example", "one  two"),
+    ]
+
+
+def test_anchor_term_index_hand_counts(spark):
+    """Terms lowercase + whitespace-split; empty anchors and relative
+    links drop; n_src_hosts counts DISTINCT source hosts (the
+    link-farm-resistant count)."""
+    from geohash_dotnet_spark.operators.links import anchor_term_index
+
+    a = '<a href="https://t.example/p">City Maps</a>'
+    b = '<a href="https://t.example/q">maps</a>'
+    rows = [
+        ("https://s1.example/a", f"<html><body>{a}</body></html>"),
+        ("https://s1.example/b", f"<html><body>{b}</body></html>"),
+        ("https://s2.example/c", f"<html><body>{b}{b}</body></html>"),
+        ("https://s3.example/d", '<html><body><a href="/rel">maps</a>'
+                                 '<a href="https://t.example/r"></a>'
+                                 "</body></html>"),
+    ]
+    out = {(r["dst_host"], r["term"]): (r["n_links"], r["n_src_hosts"])
+           for r in anchor_term_index(_html_df(spark, rows)).collect()}
+    assert out == {
+        ("t.example", "city"): (1, 1),
+        ("t.example", "maps"): (4, 2),   # s1: 1+1, s2: 2 -> hosts {s1, s2}
+    }
+
+
+def test_rich_planted_anchor_vocab_and_twin(spark):
+    """Rich planting is deterministic and byte-identical to its DuckDB
+    twin; the full extract+index pipeline value-matches end-to-end."""
+    from geohash_dotnet_spark.operators.links import (
+        ANCHOR_VOCAB, anchor_term_index, anchor_term_index_sql,
+        planted_rich_anchors_sql, with_planted_rich_anchors)
+
+    pg = with_planted_rich_anchors(pages(spark, SF))
+    got = sorted(tuple(r) for r in anchor_term_index(
+        pg, src_host_re="https?://[^/]+/([^/]+)").collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = sorted(tuple(r) for r in con.sql(anchor_term_index_sql(
+        planted_rich_anchors_sql(pages_sql(1)),
+        src_host_re="https?://[^/]+/([^/]+)")).fetchall())
+    assert got and got == want
+    assert {t for _, t, _, _ in got} <= set(ANCHOR_VOCAB)
+
+
+def test_anchor_index_html_not_through_exchange(spark):
+    """The html payload dies in the scan stage: no Exchange row type
+    carries the binary column; no Python eval nodes anywhere."""
+    from geohash_dotnet_spark.operators.links import (
+        anchor_term_index, with_planted_rich_anchors)
+
+    pg = with_planted_rich_anchors(pages(spark, SF))
+    out = anchor_term_index(pg, src_host_re="https?://[^/]+/([^/]+)")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "BatchEvalPython" not in final
+    assert "ArrowEvalPython" not in final
+    for ln in final.splitlines():
+        if "Exchange" in ln:
+            assert "html" not in ln, ln
+
+
+def test_rich_planting_validation(spark):
+    from geohash_dotnet_spark.operators.links import (
+        with_planted_rich_anchors)
+
+    with pytest.raises(ValueError):
+        with_planted_rich_anchors(None, max_links=0)
