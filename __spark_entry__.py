@@ -178,7 +178,9 @@ from geohash_dotnet_spark.operators.diversity import (  # noqa: E402
 from geohash_dotnet_spark.operators.links import (  # noqa: E402
     anchor_term_index_sql,
     link_host_edges_sql,
+    link_locality_sql,
     planted_anchors_sql,
+    planted_local_anchors_sql,
     planted_rich_anchors_sql,
 )
 from geohash_dotnet_spark.operators.text import (  # noqa: E402
@@ -2038,6 +2040,22 @@ def q_anchor_terms(spark, sf_dir):
     return anchor_term_index(pg, src_host_re="https?://[^/]+/([^/]+)")
 
 
+def q_link_locality(spark, sf_dir):
+    """Geographic link locality: ring histogram of great-circle
+    distance between linking page and linked page, over anchors that
+    target sibling corpus replicas (every absolute href resolves, so
+    the url-keyed corpus self-join — the one scale-bearing exchange —
+    is value-checked end-to-end). Band 0 carries the self/intra-site
+    spike; the mean distance per ring is mm-exact (trip_stats
+    discipline) so it hashes identically in DuckDB."""
+    from geohash_dotnet_spark.operators.links import (
+        link_locality, with_planted_local_anchors)
+
+    pg = with_planted_local_anchors(pages(spark, sf_dir, replicate=REP),
+                                    replicate=REP)
+    return link_locality(pg, band_m=1_000_000, n_bands=20)
+
+
 def q_hot_regions(spark, sf_dir):
     """Raster -> vector: 5-degree fixed-point occupancy raster,
     thresholded, 4-adjacency connected components (hash-to-min +
@@ -2089,7 +2107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "event_sessions": q_event_sessions,
         "cover_tracks": q_cover_tracks,
-        "tile_trend": q_tile_trend,
         "tile_hotspots": q_tile_hotspots,
         "tile_moran": q_tile_moran,
         "events_range_join": q_events_range,
@@ -2115,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_slots": q_crawl_slots,
         "hot_regions": q_hot_regions,
         "anchor_terms": q_anchor_terms,
+        "link_locality": q_link_locality,
         # --- NEW in r5 (must-check; slots 40-48)
         "knn_sites": q_knn_sites,
         "stay_points": q_stay_points,
@@ -2173,6 +2191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boilerplate_stats: r3-green, unchanged; same ngram/token
         # machinery as the in-window token_stats + curation_pipeline
         # (which composes the boilerplate stage under the value gate).
+        # link_locality (batch 8) displaced tile_trend: r3-green,
+        # unchanged since; its per-(tile, day) lag-window shape shares
+        # the daily-rollup machinery with the in-window tile_freshness
+        # and the r4-green tile_anomaly, and is pinned by pytest
+        # goldens + the all-keys local replica.
+        "tile_trend": q_tile_trend,
         "knn": q_knn,
         "boilerplate_stats": q_boilerplate_stats,
         "tile_rollup": q_tile_rollup,
@@ -2519,6 +2543,9 @@ def oracle_sql() -> dict[str, str]:
         "anchor_terms": anchor_term_index_sql(
             planted_rich_anchors_sql(pages_sql(REP)),
             src_host_re="https?://[^/]+/([^/]+)"),
+        "link_locality": link_locality_sql(
+            planted_local_anchors_sql(pages_sql(REP), replicate=REP),
+            pages_sql(REP), band_m=1_000_000, n_bands=20),
         "distance_bands": distance_bands_sql(
             pages_sql(REP), 40.0, -100.0, band_m=500_000, n_bands=30),
         "tile_pyramid": tile_pyramid_sql(pages_sql(REP), max_z=6),

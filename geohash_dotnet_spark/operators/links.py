@@ -45,6 +45,8 @@ __all__ = ["extract_links", "extract_links_sql",
            "extract_anchor_texts", "extract_anchor_texts_sql",
            "anchor_term_index", "anchor_term_index_sql",
            "with_planted_rich_anchors", "planted_rich_anchors_sql",
+           "with_planted_local_anchors", "planted_local_anchors_sql",
+           "link_locality", "link_locality_sql",
            "HREF_RE", "HOST_RE", "ANCHOR_TAG_RE", "ANCHOR_VOCAB"]
 
 # Portable under both Java regex and RE2: literal anchor, one capture,
@@ -309,6 +311,157 @@ def with_planted_rich_anchors(df: DataFrame, url: str = "url",
         parts.append(F.when(F.lit(j) < n, a).otherwise(F.lit("")))
     parts.append(F.lit("</body></html>"))
     return df.withColumn(out, F.encode(F.concat(*parts), "utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# Geographic link locality ("does the web link locally?")
+# ---------------------------------------------------------------------------
+
+def with_planted_local_anchors(df: DataFrame, replicate: int,
+                               url: str = "url", rep: str = "rep",
+                               text: str = "text", max_links: int = 3,
+                               out: str = "html") -> DataFrame:
+    """Add an ``html`` binary column whose anchors target OTHER CORPUS
+    PAGES — the j-th anchor points at the sibling replica
+    ``md5(url#c{{j}}) % replicate`` of the same document (the page's own
+    url with the trailing ``/rep`` segment swapped), so every absolute
+    link resolves inside the pages table and :func:`link_locality`'s
+    corpus self-join is exercised end-to-end with no external data.
+    Anchor count per page is ``md5(url) % (max_links+1)`` (same
+    convention as the other planting builders; zero-anchor pages
+    included). Pure projection, zero shuffle;
+    :func:`planted_local_anchors_sql` rebuilds identical bytes."""
+    if max_links < 1 or replicate < 1:
+        raise ValueError(f"max_links/replicate must be >= 1, got "
+                         f"{max_links}/{replicate}")
+    n = F.pmod(md5_60bit(F.col(url)), F.lit(int(max_links) + 1))
+    # the url ends with "/<rep>"; strip exactly the rep digits
+    base = F.col(url).substr(
+        F.lit(1), F.length(url) - F.length(F.col(rep).cast("string")))
+    parts = [F.lit("<html><body>"), F.col(text)]
+    for j in range(max_links):
+        t = F.pmod(md5_60bit(F.concat(F.col(url), F.lit(f"#c{j}"))),
+                   F.lit(int(replicate)))
+        a = F.concat(F.lit('<a href="'), base, t.cast("string"),
+                     F.lit(f'">c{j}</a>'))
+        parts.append(F.when(F.lit(j) < n, a).otherwise(F.lit("")))
+    parts.append(F.lit("</body></html>"))
+    return df.withColumn(out, F.encode(F.concat(*parts), "utf-8"))
+
+
+def planted_local_anchors_sql(pages_inner: str, replicate: int,
+                              max_links: int = 3) -> str:
+    """DuckDB twin of :func:`with_planted_local_anchors` (url + html_s
+    VARCHAR convention — encode/decode are UTF-8 inverses)."""
+    n = f"({md5_60bit_sql('url')}) % {int(max_links) + 1}"
+    base = "substr(url, 1, len(url) - len(CAST(rep AS VARCHAR)))"
+    anchors = []
+    for j in range(max_links):
+        h = md5_60bit_sql(f"url || '#c{j}'")
+        t = f"({h}) % {int(replicate)}"
+        a = (f"'<a href=\"' || {base} || CAST({t} AS VARCHAR) || "
+             f"'\">c{j}</a>'")
+        anchors.append(f"CASE WHEN {j} < {n} THEN {a} ELSE '' END")
+    body = " || ".join(["'<html><body>'", "text"] + anchors
+                       + ["'</body></html>'"])
+    return f"SELECT url, {body} AS html_s FROM ({pages_inner})"
+
+
+def link_locality(df: DataFrame, html: str = "html", url: str = "url",
+                  lat: str = "lat", lon: str = "lon",
+                  band_m: int = 1_000_000, n_bands: int = 20) -> DataFrame:
+    """-> (band int, n_links long, n_src_urls long, mean_km double):
+    the geographic locality of hyperlinks — for each great-circle
+    distance ring (band b covers [b*band_m, (b+1)*band_m); >= the last
+    edge lands in overflow band ``n_bands``), how many resolved links
+    connect a source page to a target page that far away.  "Does the
+    web link locally?" is a classic web-measurement question; in a geo
+    web corpus this histogram is the answer, and in a crawl pipeline
+    its near-zero bands approximate intra-site/self links.
+
+    Only links whose target url EXISTS in the corpus contribute (the
+    inner join drops relative hrefs and out-of-crawl targets — the
+    crawl-frontier residue a frontier op would consume instead).
+
+    Cross-engine determinism: the band id buckets the micro-meter
+    fixed-point distance (the distance_bands discipline — band edges
+    are 6 decimal orders above libm trig wobble), while the per-band
+    MEAN distance sums MILLIMETER-quantized legs (the trip_stats
+    discipline: floor units at 1e-3 m sit above the wobble of long
+    legs) into an exact decimal(38,0)/HUGEINT before one shared IEEE
+    division tree — bit-identical on any layout, any cluster size.
+
+    Scale shape (100 TB design point): extraction is a pure codegen
+    projection (the html payload dies in the scan stage — only
+    (src_url, lat, lon, link) string rows are exploded); the ONE
+    corpus-scale exchange pair is the url-keyed equi-join of links
+    against the pages url dim (both sides hash-partition on the key;
+    AQE handles the skewed-target case — a viral page is one hot
+    key), and the band aggregation collapses map-side into
+    <= n_bands+1 rows. The BIGINT row values feed a decimal(38,0) sum,
+    so the per-band accumulator cannot overflow below 10^25 links.
+    """
+    if band_m < 1 or n_bands < 1:
+        raise ValueError(f"band_m/n_bands must be >= 1, got "
+                         f"{band_m}/{n_bands}")
+    from ..functions.native import haversine_m
+    from .text import fp6
+
+    links = F.expr(
+        f"regexp_extract_all(decode({html}, 'UTF-8'), '{HREF_RE}', 1)")
+    src = (df.select(F.col(url).alias("src_url"),
+                     F.col(lat).alias("__slat"),
+                     F.col(lon).alias("__slon"),
+                     F.explode(links).alias("link"))
+           .where(F.col("link").rlike("^https?://")))
+    dst = df.select(F.col(url).alias("link"),
+                    F.col(lat).alias("__dlat"),
+                    F.col(lon).alias("__dlon"))
+    d = haversine_m(F.col("__slat"), F.col("__slon"),
+                    F.col("__dlat"), F.col("__dlon"))
+    fpd = F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    band = F.least(F.floor(fpd / F.lit(float(band_m) * 1000000.0)),
+                   F.lit(int(n_bands))).cast("int")
+    mm = F.floor(d * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    return (src.join(dst, "link")
+            .select(band.alias("band"), mm.alias("__mm"), "src_url")
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_links"),
+                 F.countDistinct("src_url").alias("n_src_urls"),
+                 fp6((F.sum(F.col("__mm").cast("decimal(38,0)"))
+                      .cast("double") / F.count(F.lit(1)).cast("double"))
+                     / F.lit(1000000.0)).alias("mean_km")))
+
+
+def link_locality_sql(pages_html_inner: str, pages_inner: str,
+                      band_m: int = 1_000_000, n_bands: int = 20) -> str:
+    """DuckDB twin of :func:`link_locality`: extraction replay over
+    ``html_s``, two url-equality joins against the pages table for the
+    source/target coordinates (the Spark side carries source coords
+    through the explode instead — url -> (lat, lon) is functional, so
+    the values agree), same fixed-point band and mm-exact mean."""
+    from ..functions.oracle import haversine_sql
+    from .text import fp6_sql
+
+    ex = extract_links_sql(pages_html_inner)
+    d = haversine_sql("p1.lat", "p1.lon", "p2.lat", "p2.lon")
+    fpd = f"CAST(floor(({d}) * 1000000.0 + 0.5) AS BIGINT)"
+    band = (f"CAST(least(floor({fpd} / {float(band_m) * 1000000.0!r}), "
+            f"{int(n_bands)}) AS INT)")
+    mm = f"CAST(floor(({d}) * 1000.0 + 0.5) AS BIGINT)"
+    mean = fp6_sql("(CAST(sum(mm) AS DOUBLE) / CAST(count(*) AS DOUBLE))"
+                   " / 1000000.0")
+    return f"""
+SELECT band, CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_urls,
+       {mean} AS mean_km
+FROM (
+  SELECT {band} AS band, {mm} AS mm, e.url AS src_url
+  FROM ({ex}) e
+  JOIN ({pages_inner}) p1 ON e.url = p1.url
+  JOIN ({pages_inner}) p2 ON e.link = p2.url
+) GROUP BY band
+"""
 
 
 def planted_rich_anchors_sql(pages_inner: str, n_hosts: int = 97,

@@ -98,7 +98,11 @@ def test_window_boundary():
         # goldens in tests/test_tiles.py.
         # NOTE: tile_smooth was displaced by host_reach (r5 batch 5):
         # r3-green, wrapper + underlying neighbor/tile ops unchanged.
-        "event_sessions", "cover_tracks", "tile_trend",
+        # NOTE: tile_trend was displaced by link_locality (r5 batch 8):
+        # r3-green, unchanged; its per-(tile, day) lag shape shares the
+        # daily-rollup machinery with the in-window tile_freshness and
+        # the r4-green tile_anomaly, and is pinned by pytest goldens.
+        "event_sessions", "cover_tracks",
         "tile_hotspots", "tile_moran", "events_range_join",
         "events_time_rollup", "nearest_city", "tile_quality_dist",
         "minhash_pairs", "simhash_pairs", "token_stats",
@@ -162,4 +166,4 @@ NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
              "tile_terms", "link_graph", "host_reach",
              "tile_skew", "tile_freshness", "doc_keywords",
              "geo_text_search", "pq_topk", "crawl_slots", "hot_regions",
-             "anchor_terms"}
+             "anchor_terms", "link_locality"}

@@ -194,3 +194,118 @@ def test_rich_planting_validation(spark):
 
     with pytest.raises(ValueError):
         with_planted_rich_anchors(None, max_links=0)
+
+
+# ---------------------------------------------------------------------------
+# link_locality (geographic link locality)
+# ---------------------------------------------------------------------------
+
+def test_link_locality_hand_bands(spark):
+    """Two pages 1 degree of latitude apart (~111.2 km): A links to B
+    (band 0 under band_m=1e6), B links to itself (distance 0, band 0);
+    A also links off-corpus (dropped by the resolve join)."""
+    from geohash_dotnet_spark.operators.links import link_locality
+
+    df = (spark.createDataFrame(
+        [("https://x/a", 0.0, 0.0,
+          '<a href="https://x/b">b</a><a href="https://gone/z">z</a>'),
+         ("https://x/b", 1.0, 0.0, '<a href="https://x/b">self</a>')],
+        "url string, lat double, lon double, html_s string")
+        .withColumn("html", F.encode("html_s", "utf-8")).drop("html_s"))
+    out = link_locality(df, band_m=1_000_000, n_bands=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["band"], r["n_links"], r["n_src_urls"]) == (0, 2, 2)
+    # mean of ~111.195 km and 0 km
+    assert 50.0 < r["mean_km"] < 60.0
+
+
+def test_link_locality_overflow_band(spark):
+    """Antipodal-ish pages land in the overflow band n_bands."""
+    from geohash_dotnet_spark.operators.links import link_locality
+
+    df = (spark.createDataFrame(
+        [("https://x/a", 0.0, 0.0, '<a href="https://x/b">b</a>'),
+         ("https://x/b", 0.0, 179.0, "")],
+        "url string, lat double, lon double, html_s string")
+        .withColumn("html", F.encode("html_s", "utf-8")).drop("html_s"))
+    out = link_locality(df, band_m=1_000_000, n_bands=5).collect()
+    assert len(out) == 1 and out[0]["band"] == 5
+
+
+def test_link_locality_matches_duckdb_twin(spark):
+    """Full value parity at sf0.001 x2 replicas: Spark binary-html
+    extraction + corpus self-join vs the DuckDB string replay with
+    two url joins — band counts AND the mm-exact mean_km must hash
+    identically (bit-exact doubles)."""
+    import pandas as pd
+
+    from geohash_dotnet_spark.operators.links import (
+        link_locality, link_locality_sql, planted_local_anchors_sql,
+        with_planted_local_anchors)
+
+    rep = 2
+    pg = with_planted_local_anchors(pages(spark, SF, replicate=rep),
+                                    replicate=rep)
+    out = (link_locality(pg, band_m=2_000_000, n_bands=8)
+           .orderBy("band").toPandas())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+    o = con.execute(link_locality_sql(
+        planted_local_anchors_sql(pages_sql(rep), replicate=rep),
+        pages_sql(rep), band_m=2_000_000, n_bands=8)
+        + " ORDER BY band").df()
+    assert len(out) > 3
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  o.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_link_locality_all_planted_links_resolve(spark):
+    """Every planted absolute href targets a sibling replica that
+    exists in the corpus, so the resolve join drops nothing: total
+    n_links equals the extracted absolute-link count."""
+    from geohash_dotnet_spark.operators.links import (
+        extract_links, link_locality, with_planted_local_anchors)
+
+    rep = 3
+    pg = with_planted_local_anchors(pages(spark, SF, replicate=rep),
+                                    replicate=rep)
+    n_ex = (extract_links(pg)
+            .where(F.col("link").rlike("^https?://")).count())
+    n_in = (link_locality(pg).agg(F.sum("n_links")).collect()[0][0])
+    assert n_ex == n_in > 0
+
+
+def test_link_locality_plan_html_dies_in_scan(spark):
+    """The html payload never crosses an Exchange; no Python eval
+    nodes; the resolve join is a real equi-join (no BNLJ)."""
+    from geohash_dotnet_spark.operators.links import (
+        link_locality, with_planted_local_anchors)
+
+    pg = with_planted_local_anchors(pages(spark, SF, replicate=2),
+                                    replicate=2)
+    out = link_locality(pg)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "BatchEvalPython" not in final
+    assert "ArrowEvalPython" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
+    for ln in final.splitlines():
+        if "Exchange" in ln:
+            assert "html" not in ln, ln
+
+
+def test_link_locality_validation(spark):
+    from geohash_dotnet_spark.operators.links import (
+        link_locality, with_planted_local_anchors)
+
+    with pytest.raises(ValueError):
+        link_locality(None, band_m=0)
+    with pytest.raises(ValueError):
+        link_locality(None, n_bands=0)
+    with pytest.raises(ValueError):
+        with_planted_local_anchors(None, replicate=0)
