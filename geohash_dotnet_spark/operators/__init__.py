@@ -21,6 +21,7 @@ from .sketches import approx_tile_stats  # noqa: F401
 from .knn import knn_join, nearest_assign, nearest_sites  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components,
+    containment_pairs,
     duplicate_groups,
     exact_dedup,
     latest_snapshot,
@@ -69,7 +70,7 @@ from .flows import (  # noqa: F401
     user_mobility,
 )
 from .graph import host_edges, pagerank  # noqa: F401
-from .crawl import crawl_slots  # noqa: F401
+from .crawl import crawl_slots, site_footprint  # noqa: F401
 from .index import (  # noqa: F401
     bm25_topk,
     build_postings,
@@ -83,6 +84,7 @@ from .lm import (  # noqa: F401
     collocations,
     dsir_weights,
     hashed_linear_score,
+    score_calibration,
 )
 from .diversity import tile_skew  # noqa: F401
 from .hotspots import focal_hotspots, moran_i, tile_anomaly  # noqa: F401

@@ -104,6 +104,37 @@ def _shingles(text_col, n: int = 3):
         .otherwise(F.array().cast("array<string>"))
 
 
+def _shingle_rows(df: DataFrame, id_col: str, text: str, n: int,
+                  max_df: float | None) -> DataFrame:
+    """(id, shingle) rows, distinct per doc, behind ONE shingle-keyed
+    barrier — the shared front half of every shingle self-join operator
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`).
+
+    With ``max_df`` the document-frequency cap rides a count window ON
+    the shingle-keyed Exchange+sort the downstream self-join needs
+    anyway; without it an explicit ``repartition(shingle)`` provides the
+    same barrier so the two self-join sides ReusedExchange it instead of
+    re-exploding the corpus.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(_shingles(F.col(text), n)).alias("shingle"))
+    if max_df is not None:
+        total = df.select(F.count(F.lit(1)).alias("__N"))
+        cap = F.greatest(F.lit(1), F.floor(F.lit(max_df) * F.col("__N")))
+        w = Window.partitionBy("shingle")
+        sh = (sh.withColumn("__df", F.count(F.lit(1)).over(w))
+              .crossJoin(F.broadcast(total))
+              .filter(F.col("__df") <= cap)
+              .select("id", "shingle"))
+    else:
+        # one explicit shingle Exchange shared (ReusedExchange) by the
+        # self-join's two sides and recomputation-free for sizes —
+        # without it each downstream branch re-explodes the corpus (the
+        # capped branch gets the same barrier from its window)
+        sh = sh.repartition("shingle")
+    return sh
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text: str = "text", n: int = 3,
                         threshold: float = 0.5,
@@ -134,22 +165,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     build side — condition-free, so each probe row does one array
     append, not a loop); no driver-side action anywhere.
     """
-    sh = df.select(F.col(id_col).alias("id"),
-                   F.explode(_shingles(F.col(text), n)).alias("shingle"))
-    if max_df is not None:
-        total = df.select(F.count(F.lit(1)).alias("__N"))
-        cap = F.greatest(F.lit(1), F.floor(F.lit(max_df) * F.col("__N")))
-        w = Window.partitionBy("shingle")
-        sh = (sh.withColumn("__df", F.count(F.lit(1)).over(w))
-              .crossJoin(F.broadcast(total))
-              .filter(F.col("__df") <= cap)
-              .select("id", "shingle"))
-    else:
-        # one explicit shingle Exchange shared (ReusedExchange) by the
-        # self-join's two sides and recomputation-free for sizes —
-        # without it each downstream branch re-explodes the corpus (the
-        # capped branch gets the same barrier from its window)
-        sh = sh.repartition("shingle")
+    sh = _shingle_rows(df, id_col, text, n, max_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -220,6 +236,93 @@ SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
        {_jaccard_fp6_sql()} AS jaccard
 FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 WHERE {_jaccard_fp6_sql()} >= {threshold}
+"""
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text: str = "text", n: int = 3,
+                      threshold: float = 0.8,
+                      max_df: float | None = None) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT
+    (Broder's resemblance-vs-containment split, the overlap
+    coefficient): ``inter / min(n_a, n_b)``.
+
+    Jaccard misses the classic web-dup shapes — a page quoted whole
+    inside a longer page, an article republished with a large added
+    boilerplate wrapper — because the union in its denominator is
+    dominated by the longer side.  Containment scores those pairs ~1.0
+    regardless of the length ratio, which is why dedup pipelines run it
+    alongside resemblance.  The contained (smaller-shingle-set) side is
+    reported explicitly so a curation stage can drop it directly.
+
+    Plan/scale shape: identical to :func:`ngram_jaccard_pairs` — the
+    shared :func:`_shingle_rows` front half (one shingle-keyed
+    Exchange, optional df-cap riding the same barrier), shingle-keyed
+    self-join, id-keyed pair aggregation.  ``max_df`` is the production
+    path at corpus scale for exactly the same hot-shingle reason; the
+    capped semantics (containment over the sub-max_df shingle space)
+    are what the DuckDB twin replays.
+
+    Output: (id_a, id_b, inter, n_a, n_b, containment fp6,
+    contained_id — the smaller set's id, ties -> id_a) with
+    containment >= threshold and id_a < id_b.
+    """
+    sh = _shingle_rows(df, id_col, text, n, max_df)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, on="shingle")
+             .filter(F.col("a.id") < F.col("b.id"))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    cont = fp6((F.col("inter")
+                / F.least(F.col("n_a"), F.col("n_b"))).cast("double"))
+    return (inter
+            .join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}),
+                  on="id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}),
+                  on="id_b")
+            .withColumn("containment", cont)
+            .filter(F.col("containment") >= threshold)
+            .withColumn("contained_id",
+                        F.when(F.col("n_b") < F.col("n_a"), F.col("id_b"))
+                        .otherwise(F.col("id_a")))
+            .select("id_a", "id_b", "inter", "n_a", "n_b", "containment",
+                    "contained_id"))
+
+
+def containment_sql(inner: str = "documents", id_col: str = "doc_id",
+                    text: str = "text", n: int = 3,
+                    threshold: float = 0.8,
+                    max_df: float | None = None) -> str:
+    """DuckDB oracle twin of :func:`containment_pairs` (incl. df-cap)."""
+    shingle = _shingle_sql(text, n)
+    cap_cte = ""
+    sh_src = "sh0"
+    if max_df is not None:
+        cap_cte = f""", sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING count(*) <= greatest(1, floor({max_df} *
+               (SELECT count(*) FROM {inner})))) keep USING (shingle)
+)"""
+        sh_src = "sh"
+    cont = fp6_sql("CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh)")
+    return f"""
+WITH sh0 AS (
+  SELECT DISTINCT {id_col} AS id, unnest({shingle}) AS shingle FROM {inner}
+){cap_cte}, sizes AS (
+  SELECT id, count(*) AS n_sh FROM {sh_src} GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM {sh_src} a JOIN {sh_src} b USING (shingle) WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       {cont} AS containment,
+       CASE WHEN sb.n_sh < sa.n_sh THEN id_b ELSE id_a END AS contained_id
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE {cont} >= {threshold}
 """
 
 

@@ -41,7 +41,8 @@ from .text import _tokens, fp6, fp6_sql
 
 __all__ = ["bigram_ppl", "bigram_ppl_sql", "collocations",
            "collocations_sql", "hashed_linear_score",
-           "hashed_linear_score_sql"]
+           "hashed_linear_score_sql", "score_calibration",
+           "score_calibration_sql"]
 
 _TOKS_SQL_TMPL = "string_split_regex(trim(lower({text})), '\\s+')"
 
@@ -426,4 +427,100 @@ SELECT id AS {id_col}, n_feats,
                  / (CAST(n_feats AS DOUBLE) * 1000.0) >= 0.0
             THEN 1 ELSE 0 END AS label
 FROM sc
+"""
+
+
+def score_calibration(df: DataFrame, id_col: str = "doc_id",
+                      text: str = "text", group: str = "source",
+                      n_buckets: int = 1 << 20,
+                      keep_frac: float = 0.5) -> DataFrame:
+    """Per-group percentile calibration of the hashed-linear classifier
+    score, WITHOUT a per-group corpus sort — the "calibrate the quality
+    classifier per domain, then keep the top fraction of each domain"
+    stage of curation pipelines (a raw threshold keeps 90% of one
+    domain and 2% of another; calibrating per group makes the keep
+    decision mean the same thing everywhere).
+
+    cal(d) = (# docs in d's group with a strictly lower milli-logit
+    bucket) / (group size) — the empirical CDF evaluated at bucket
+    resolution (1e-3 logit).  keep = cal >= 1 - keep_frac (ties at the
+    cut bucket keep together: a whole bucket is in or out, so the kept
+    fraction is >= keep_frac by at most one bucket's mass — the honest
+    histogram-CDF semantics).
+
+    Scale shape (100 TB): a naive percent_rank() per group is a
+    per-group TOTAL SORT of the corpus — one giant domain becomes one
+    task.  Instead the corpus collapses to a (group, bucket) histogram
+    (<= |groups| * 2001 rows) in one exchange; the running-CDF windows
+    ride that aggregated table only; and the per-doc calibration comes
+    back via a (group, bucket)-keyed join that AQE broadcasts whenever
+    the histogram fits (it always does at mixture-domain group
+    cardinality).  Corpus-scale exchanges: the classifier's id-keyed
+    aggregation, the group-column stitch (id-keyed), and the histogram
+    aggregation — all key-partitioned, no global sort anywhere.
+
+    Cross-engine determinism: buckets floor the fp6-gated logit at
+    1e-3 (identical IEEE op sequence in the twin); cal is one IEEE
+    division of exact BIGINTs, fp6-gated.
+
+    Output: (id_col, group, logit, bucket, cal, keep int).
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    from pyspark.sql import Window
+
+    sc = hashed_linear_score(df, id_col=id_col, text=text,
+                             n_buckets=n_buckets)
+    base = df.select(F.col(id_col), F.col(group))
+    scored = (sc.join(base, id_col)
+              .withColumn("bucket",
+                          F.floor(F.col("logit") * F.lit(1000.0))
+                          .cast("long")))
+    hist = (scored.groupBy(group, "bucket")
+            .agg(F.count(F.lit(1)).alias("__n")))
+    wg = Window.partitionBy(group)
+    wcum = (Window.partitionBy(group).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cdf = (hist
+           .withColumn("__below", F.coalesce(F.sum("__n").over(wcum),
+                                             F.lit(0)))
+           .withColumn("__tot", F.sum("__n").over(wg)))
+    cal = fp6(F.col("__below").cast("double") / F.col("__tot").cast("double"))
+    return (scored.join(cdf, [group, "bucket"])
+            .withColumn("cal", cal)
+            .withColumn("keep",
+                        F.when(F.col("cal") >= 1.0 - keep_frac, 1)
+                        .otherwise(0))
+            .select(id_col, group, "logit", "bucket", "cal", "keep"))
+
+
+def score_calibration_sql(inner: str = "documents",
+                          id_col: str = "doc_id", text: str = "text",
+                          group: str = "source",
+                          n_buckets: int = 1 << 20,
+                          keep_frac: float = 0.5) -> str:
+    """DuckDB oracle twin of :func:`score_calibration`."""
+    score = hashed_linear_score_sql(inner=inner, id_col=id_col, text=text,
+                                    n_buckets=n_buckets)
+    cal = fp6_sql("CAST(__below AS DOUBLE) / CAST(__tot AS DOUBLE)")
+    return f"""
+WITH score AS ({score}
+), scored AS (
+  SELECT s.{id_col}, d.{group}, s.logit,
+         CAST(floor(s.logit * 1000.0) AS BIGINT) AS bucket
+  FROM score s JOIN {inner} d USING ({id_col})
+), hist AS (
+  SELECT {group}, bucket, count(*) AS __n
+  FROM scored GROUP BY 1, 2
+), cdf AS (
+  SELECT {group}, bucket,
+         coalesce(sum(__n) OVER (PARTITION BY {group} ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS __below,
+         sum(__n) OVER (PARTITION BY {group}) AS __tot
+  FROM hist
+)
+SELECT s.{id_col}, s.{group}, s.logit, s.bucket, {cal} AS cal,
+       CASE WHEN {cal} >= {1.0 - keep_frac!r} THEN 1 ELSE 0 END AS keep
+FROM scored s JOIN cdf USING ({group}, bucket)
 """

@@ -103,10 +103,17 @@ def test_window_boundary():
         # daily-rollup machinery with the in-window tile_freshness and
         # the r4-green tile_anomaly, and is pinned by pytest goldens.
         "event_sessions", "cover_tracks",
-        "tile_hotspots", "tile_moran", "events_range_join",
+        "tile_hotspots", "events_range_join",
         "events_time_rollup", "nearest_city", "tile_quality_dist",
-        "minhash_pairs", "simhash_pairs", "token_stats",
-        "winnow_fingerprints",
+        "simhash_pairs", "token_stats",
+        # NOTE: r5 batch 9 (containment_pairs, site_footprint,
+        # score_calibration) displaced tile_moran (same
+        # aggregated-tile neighbor machinery as the in-window
+        # tile_hotspots; exact integer moments pinned by pytest),
+        # minhash_pairs (sig/band/exact-verify path composed inside
+        # the in-window minhash_incremental cross form), and
+        # winnow_fingerprints (same tokenizer/hash machinery as the
+        # in-window token_stats) — all r3-green and unchanged since.
         # NOTE: boilerplate_stats was displaced by anchor_terms (r5
         # batch 7): r3-green, unchanged; the in-window
         # curation_pipeline composes the boilerplate stage under the
@@ -166,4 +173,5 @@ NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
              "tile_terms", "link_graph", "host_reach",
              "tile_skew", "tile_freshness", "doc_keywords",
              "geo_text_search", "pq_topk", "crawl_slots", "hot_regions",
-             "anchor_terms", "link_locality"}
+             "anchor_terms", "link_locality",
+             "containment_pairs", "site_footprint", "score_calibration"}

@@ -70,3 +70,64 @@ def test_crawl_slots_single_site_exchange(spark):
 def test_crawl_slots_validation(spark):
     with pytest.raises(ValueError):
         crawl_slots(None, rate=0)
+
+
+# ---------------------------------------------------------------------------
+# site_footprint
+# ---------------------------------------------------------------------------
+
+def _geo_pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, lat double, lon double")
+
+
+def test_site_footprint_hand_values(spark):
+    """Two sites: A spans two p4 cells (bbox/centroid/span computed by
+    hand from the kernel haversine), B is a single point (zero span)."""
+    from geohash_dotnet_spark.kernels.distance import haversine_m
+    from geohash_dotnet_spark.operators import site_footprint
+
+    rows = [
+        ("https://x.example/siteA/1/0", 10.0, 20.0),
+        ("https://x.example/siteA/2/0", 10.5, 20.5),
+        ("https://x.example/siteB/1/0", -33.87, 151.21),
+    ]
+    out = {r["site"]: r for r in
+           site_footprint(_geo_pages(spark, rows), precision=4).collect()}
+    a = out["siteA"]
+    assert (a["n_pages"], a["n_cells"]) == (2, 2)
+    assert (a["min_lat"], a["max_lat"]) == (10.0, 10.5)
+    assert (a["min_lon"], a["max_lon"]) == (20.0, 20.5)
+    assert (a["ctr_lat"], a["ctr_lon"]) == (10.25, 20.25)
+    want_mm = int(haversine_m(10.0, 20.0, 10.5, 20.5) * 1000.0 + 0.5)
+    assert a["span_mm"] == want_mm
+    b = out["siteB"]
+    assert (b["n_pages"], b["n_cells"], b["span_mm"]) == (1, 1, 0)
+
+
+def test_site_footprint_same_cell_collapses(spark):
+    """Pages inside one p4 cell (~39x19.5 km) count one distinct cell."""
+    from geohash_dotnet_spark.operators import site_footprint
+
+    rows = [("https://x.example/s/1/0", 50.0001, 8.0001),
+            ("https://x.example/s/2/0", 50.0002, 8.0002)]
+    [r] = site_footprint(_geo_pages(spark, rows), precision=4).collect()
+    assert (r["n_pages"], r["n_cells"]) == (2, 1)
+
+
+def test_site_footprint_validates_precision(spark):
+    from geohash_dotnet_spark.operators import site_footprint
+
+    with pytest.raises(ValueError, match="precision"):
+        site_footprint(_geo_pages(spark, []), precision=0)
+
+
+def test_site_footprint_stays_jvm_side(spark):
+    """The whole footprint is native exprs + aggregates — no Python
+    eval nodes anywhere in the executed plan."""
+    from geohash_dotnet_spark.operators import site_footprint
+
+    rows = [("https://x.example/s/1/0", 1.0, 2.0)]
+    out = site_footprint(_geo_pages(spark, rows), precision=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

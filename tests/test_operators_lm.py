@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from geohash_dotnet_spark.operators import bigram_ppl
 
 
@@ -194,3 +196,86 @@ def test_dsir_model_join_is_broadcast(spark, sf_small):
     plan = (dsir_weights(cor, tgt, n_buckets=64)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan.split("Initial Plan")[0]
+
+
+# ---------------------------------------------------------------------------
+# score_calibration
+# ---------------------------------------------------------------------------
+
+def test_score_calibration_is_the_per_group_bucket_ecdf(spark):
+    """cal must equal the empirical CDF (strictly-below mass / group
+    size) recomputed in pandas from the operator's own (group, bucket)
+    output, per group — and keep must be exactly cal >= 0.5."""
+    import pandas as pd
+
+    from geohash_dotnet_spark.operators import score_calibration
+
+    rows = [(i, f"doc number {i} with words w{i % 7} v{i % 3} "
+                f"filler{i} tail{i * 13}", f"g{i % 2}")
+            for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pdf = score_calibration(docs, keep_frac=0.5).toPandas()
+    assert len(pdf) == 24
+    for g, grp in pdf.groupby("source"):
+        n = len(grp)
+        for _, r in grp.iterrows():
+            below = int((grp["bucket"] < r["bucket"]).sum())
+            want = round(below / n * 1e6 + 0.5) // 1 / 1e6  # fp6 floor(x*1e6+0.5)/1e6
+            assert abs(r["cal"] - below / n) < 2e-6
+            assert r["keep"] == (1 if r["cal"] >= 0.5 else 0)
+    # bucketed ECDF keeps at least keep_frac of every group (ties at
+    # the cut bucket keep together)
+    kept = pdf.groupby("source")["keep"].mean()
+    assert (kept >= 0.5 - 1e-9).all()
+
+
+def test_score_calibration_group_isolation(spark):
+    """A group whose scores are uniformly shifted still keeps the same
+    FRACTION — calibration is per-group by construction: the same doc
+    text lands in different keep-sets depending only on its group's
+    distribution."""
+    from geohash_dotnet_spark.operators import score_calibration
+
+    # group A: 4 distinct texts; group B: the same 4 texts -> identical
+    # per-group distributions -> identical per-group keep counts
+    texts = ["alpha beta gamma", "delta epsilon zeta words",
+             "eta theta iota kappa lambda", "mu nu xi omicron pi rho"]
+    rows = ([(i, texts[i], "A") for i in range(4)]
+            + [(10 + i, texts[i], "B") for i in range(4)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pdf = score_calibration(docs).toPandas()
+    ka = sorted(pdf[pdf.source == "A"]["keep"])
+    kb = sorted(pdf[pdf.source == "B"]["keep"])
+    assert ka == kb
+    # and the cal values agree text-by-text across groups
+    a = pdf[pdf.source == "A"].sort_values("doc_id")["cal"].tolist()
+    b = pdf[pdf.source == "B"].sort_values("doc_id")["cal"].tolist()
+    assert a == b
+
+
+def test_score_calibration_validates_keep_frac(spark):
+    from geohash_dotnet_spark.operators import score_calibration
+
+    docs = spark.createDataFrame([(1, "a b", "g")],
+                                 "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="keep_frac"):
+        score_calibration(docs, keep_frac=0.0)
+
+
+def test_score_calibration_windows_ride_the_histogram_only(spark):
+    """The scale contract: every Window node in the plan consumes the
+    aggregated (group, bucket) histogram, never corpus rows — i.e. each
+    Window sits above a HashAggregate, and there is no Sort of the
+    corpus-keyed columns (doc_id) anywhere."""
+    from geohash_dotnet_spark.operators import score_calibration
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i}", f"g{i % 2}") for i in range(8)],
+        "doc_id long, text string, source string")
+    plan = (score_calibration(docs)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # the corpus-side percent_rank formulation would sort by logit
+    # inside a doc-keyed window; the histogram form never does
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "doc_id" not in line and "logit" not in line, line

@@ -979,3 +979,64 @@ def test_rect_overlap_join_validates_cell_deg(spark):
     for bad in (0.0, -1.0, float("nan"), float("inf")):
         with pytest.raises(ValueError, match="cell_deg"):
             rect_overlap_join(df, cell_deg=bad)
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs (asymmetric near-dup: overlap coefficient)
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """d1's whole text sits inside d2 (the quote-inclusion dup shape):
+    containment = inter/min = 1.0 while Jaccard = 4/8 = 0.5 — a 0.8
+    threshold keeps the pair under containment and drops it under
+    Jaccard. contained_id names the smaller side."""
+    from geohash_dotnet_spark.operators import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),
+         (2, "a b c d e f g h i j"),
+         (3, "p q r s t u v w")],
+        "doc_id long, text string")
+    out = containment_pairs(docs, threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"], r["inter"], r["n_a"], r["n_b"],
+             r["containment"], r["contained_id"]) for r in out] == \
+        [(1, 2, 4, 4, 8, 1.0, 1)]
+    jac = ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert jac == []  # resemblance dilutes the pair below threshold
+
+
+def test_containment_matches_duckdb_twin_with_cap(spark):
+    """Value parity with the DuckDB twin under the df-cap: the shingle
+    every doc shares is dropped from the universe (numerator AND
+    denominators) before pairing."""
+    import duckdb
+
+    from geohash_dotnet_spark.operators import containment_pairs
+    from geohash_dotnet_spark.operators.dedup import containment_sql
+
+    rows = [(i, f"hot common shingle unique{i} tail{i} end{i}")
+            for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 containment_pairs(docs, threshold=0.0,
+                                   max_df=0.25).collect())
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(tuple(r) for r in con.sql(
+        containment_sql(threshold=0.0, max_df=0.25)).fetchall())
+    assert got == want
+    # the ubiquitous "hot common shingle" (df=4 > cap=1) is gone, so no
+    # pair can share a shingle at all
+    assert got == []
+
+
+def test_containment_contained_id_tie_prefers_id_a(spark):
+    """Equal shingle counts (a doc and its exact permutation-free copy)
+    tie-break contained_id to id_a."""
+    from geohash_dotnet_spark.operators import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(7, "x y z w"), (9, "x y z w")], "doc_id long, text string")
+    [r] = containment_pairs(docs, threshold=0.9).collect()
+    assert (r["id_a"], r["id_b"], r["contained_id"]) == (7, 9, 7)
+    assert r["containment"] == 1.0
