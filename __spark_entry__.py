@@ -70,6 +70,7 @@ from geohash_dotnet_spark.operators import (  # noqa: E402
     with_token_stats,
 )
 from geohash_dotnet_spark.operators.dedup import (  # noqa: E402
+    cluster_canonical_sql,
     containment_sql,
     dedup_clusters_sql,
     md5_60bit_sql,
@@ -182,10 +183,12 @@ from geohash_dotnet_spark.operators.diversity import (  # noqa: E402
 )
 from geohash_dotnet_spark.operators.links import (  # noqa: E402
     anchor_term_index_sql,
+    frontier_hosts_sql,
     link_host_edges_sql,
     link_locality_sql,
     planted_anchors_sql,
     planted_local_anchors_sql,
+    planted_mixed_anchors_sql,
     planted_rich_anchors_sql,
 )
 from geohash_dotnet_spark.operators.text import (  # noqa: E402
@@ -2103,6 +2106,29 @@ def q_site_footprint(spark, sf_dir):
     return site_footprint(_pages(spark, sf_dir), precision=4)
 
 
+def q_frontier_hosts(spark, sf_dir):
+    """Crawl frontier by target host: outlinks that do NOT resolve in
+    the corpus (left ANTI of the url-keyed join link_locality INNERs),
+    with the spam-resistant distinct-source count. The mixed-anchor
+    planting keeps BOTH branches of the known/unknown split live."""
+    from geohash_dotnet_spark.operators.links import (
+        frontier_hosts, with_planted_mixed_anchors)
+
+    pg = with_planted_mixed_anchors(pages(spark, sf_dir, replicate=REP),
+                                    replicate=REP)
+    return frontier_hosts(pg)
+
+
+def q_cluster_canonical(spark, sf_dir):
+    """Survivor per near-dup cluster (longest member, ties -> smallest
+    id) via LSH pairs -> connected components -> one cluster-keyed
+    struct-min argmax; oracle replays the closure over exact Jaccard
+    pairs + QUALIFY argmax."""
+    from geohash_dotnet_spark.operators.dedup import cluster_canonical
+
+    return cluster_canonical(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_score_calibration(spark, sf_dir):
     """Per-source percentile calibration of the hashed-linear
     classifier via a (group, milli-logit-bucket) histogram CDF — the
@@ -2140,7 +2166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_covering": q_compress_covering,
         "exact_dedup_groups": q_exact_dedup_groups,
         "dedup_clusters": q_dedup_clusters,
-        "event_sessions": q_event_sessions,
         "cover_tracks": q_cover_tracks,
         "tile_hotspots": q_tile_hotspots,
         "events_range_join": q_events_range,
@@ -2149,7 +2174,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_quality_dist": q_tile_quality_dist,
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
-        "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
         "knn_table": q_knn_table,
@@ -2189,6 +2213,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "site_footprint": q_site_footprint,
         "score_calibration": q_score_calibration,
+        # --- NEW in r5 batch 10 (never driver-checked -> in-window;
+        # they displace event_sessions / stratified_sample — see the
+        # boundary comment below)
+        "frontier_hosts": q_frontier_hosts,
+        "cluster_canonical": q_cluster_canonical,
         # --- the flagship stays inside the window every round
         "flagship": q_flagship,
         # --- window boundary: 50 keys once the r5 additions fill slots
@@ -2244,6 +2273,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnow_fingerprints (same tokenizer/hash machinery as the
         # in-window token_stats; window-guarantee property pinned by
         # pytest + the all-keys local replica).
+        # r5 batch 10 (frontier_hosts, cluster_canonical) displaced
+        # event_sessions (r3-green, unchanged; the sessionize shape is
+        # parity-pinned by the native session_window streaming twin in
+        # test_streaming_sessions plus gap-edge pytests) and
+        # stratified_sample (r3-green, unchanged; the zero-shuffle
+        # md5-threshold machinery is shared with the r4-green
+        # sample_exact / sample_exact_by_lang family and pinned by the
+        # layout-independence pytest).
+        "event_sessions": q_event_sessions,
+        "stratified_sample": q_stratified_sample,
         "tile_moran": q_tile_moran,
         "minhash_pairs": q_minhash_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2587,6 +2626,10 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": pq_topk_sql(10, [0, 1, 2, 3, 4], dim=64),
         "crawl_slots": crawl_slots_sql(pages_sql(REP), rate=16),
         "containment_pairs": containment_sql(threshold=0.5, max_df=0.05),
+        "frontier_hosts": frontier_hosts_sql(
+            planted_mixed_anchors_sql(pages_sql(REP), replicate=REP),
+            pages_sql(REP)),
+        "cluster_canonical": cluster_canonical_sql(threshold=0.5),
         "site_footprint": site_footprint_sql(pages_tagged_sql(4, REP)),
         "score_calibration":
             "SELECT * FROM (" + score_calibration_sql()

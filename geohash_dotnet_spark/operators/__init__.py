@@ -20,6 +20,7 @@ from .grid import cells_to_wkt, gh_grid, pick_grid_precision  # noqa: F401
 from .sketches import approx_tile_stats  # noqa: F401
 from .knn import knn_join, nearest_assign, nearest_sites  # noqa: F401
 from .dedup import (  # noqa: F401
+    cluster_canonical,
     connected_components,
     containment_pairs,
     duplicate_groups,

@@ -865,6 +865,76 @@ FROM comp ORDER BY id
 """
 
 
+def cluster_canonical(df: DataFrame, id_col: str = "doc_id",
+                      text: str = "text", threshold: float = 0.5,
+                      n: int = 3) -> DataFrame:
+    """Survivor selection over the near-dup graph — the step BETWEEN
+    "clusters found" and "corpus rewritten" that every dedup pipeline
+    runs: per connected component of the MinHash-LSH pair graph, keep
+    the LONGEST member (ties -> smallest id, a total order), so the
+    downstream anti-join can drop every other member.
+
+    -> (cluster_id, n_members, canonical_id, canonical_chars): one row
+    per cluster.  Composes :func:`minhash_lsh_pairs` ->
+    :func:`connected_components` -> an id-keyed length stitch and ONE
+    cluster-keyed struct-min aggregation (min of (-n_chars, id) — the
+    ``latest_snapshot`` argmax discipline: partial-aggregable, no
+    Window, no per-cluster sort).
+
+    Scale shape (100 TB): everything upstream is the proven LSH + CC
+    machinery; the new work is one id-keyed join of the label table
+    against per-doc lengths (both sides doc-keyed, co-partitioned) and
+    one cluster-keyed agg whose map-side partials collapse each
+    (cluster, task) to a single row.  All-integer output — bit-exact
+    cross-engine.
+    """
+    comp = connected_components(
+        minhash_lsh_pairs(df, id_col=id_col, text=text,
+                          threshold=threshold, n=n))
+    lens = df.select(F.col(id_col).cast("long").alias("id"),
+                     F.length(F.col(text)).cast("long").alias("__len"))
+    pick = F.min(F.struct((-F.col("__len")).alias("nl"),
+                          F.col("id").alias("cid"))).alias("__pick")
+    return (comp.join(lens, "id")
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"), pick)
+            .select("cluster_id", "n_members",
+                    F.col("__pick.cid").alias("canonical_id"),
+                    (-F.col("__pick.nl")).alias("canonical_chars")))
+
+
+def cluster_canonical_sql(inner: str = "documents", id_col: str = "doc_id",
+                          text: str = "text", threshold: float = 0.5,
+                          n: int = 3) -> str:
+    """DuckDB oracle twin of :func:`cluster_canonical` — the
+    dedup_clusters recursive-CTE closure over the exact relational
+    Jaccard pairs, then a per-cluster argmax via QUALIFY (independent
+    formulation vs Spark's struct-min partial agg)."""
+    return f"""
+WITH RECURSIVE pairs AS ({ngram_jaccard_sql(inner, id_col, text, n, threshold)}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(id, lbl) AS (
+  SELECT u AS id, u AS lbl FROM edges
+  UNION
+  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+), comp AS (
+  SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+), sized AS (
+  SELECT c.id, c.cluster_id, CAST(length(d.{text}) AS BIGINT) AS len
+  FROM comp c JOIN {inner} d ON d.{id_col} = c.id
+)
+SELECT cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS n_members,
+       id AS canonical_id, len AS canonical_chars
+FROM sized
+QUALIFY row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY len DESC, id ASC) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Snapshot dedup: latest crawl per document
 # ---------------------------------------------------------------------------

@@ -47,6 +47,8 @@ __all__ = ["extract_links", "extract_links_sql",
            "with_planted_rich_anchors", "planted_rich_anchors_sql",
            "with_planted_local_anchors", "planted_local_anchors_sql",
            "link_locality", "link_locality_sql",
+           "with_planted_mixed_anchors", "planted_mixed_anchors_sql",
+           "frontier_hosts", "frontier_hosts_sql",
            "HREF_RE", "HOST_RE", "ANCHOR_TAG_RE", "ANCHOR_VOCAB"]
 
 # Portable under both Java regex and RE2: literal anchor, one capture,
@@ -481,3 +483,120 @@ def planted_rich_anchors_sql(pages_inner: str, n_hosts: int = 97,
     body = " || ".join(["'<html><body>'", "text"] + anchors
                        + ["'</body></html>'"])
     return f"SELECT url, {body} AS html_s FROM ({pages_inner})"
+
+
+def with_planted_mixed_anchors(df: DataFrame, replicate: int,
+                               url: str = "url", rep: str = "rep",
+                               text: str = "text", max_links: int = 3,
+                               n_ext_hosts: int = 61,
+                               out: str = "html") -> DataFrame:
+    """Add an ``html`` binary column mixing BOTH anchor kinds: the j-th
+    anchor is a resolving link to the sibling corpus replica
+    ``md5(url#c{{j}}) % replicate`` when ``md5(url#m{{j}})`` is even,
+    else an OFF-CORPUS link to ``https://ext-{{md5(url#e{{j}}) %
+    n_ext_hosts}}.example/p/{{j}}`` — so a frontier operator's
+    known/unknown split has both branches live on every page batch.
+    Anchor count per page is ``md5(url) % (max_links+1)``, matching the
+    other planting builders. Pure projection, zero shuffle;
+    :func:`planted_mixed_anchors_sql` rebuilds identical bytes."""
+    if max_links < 1 or replicate < 1 or n_ext_hosts < 1:
+        raise ValueError(f"max_links/replicate/n_ext_hosts must be >= 1, "
+                         f"got {max_links}/{replicate}/{n_ext_hosts}")
+    n = F.pmod(md5_60bit(F.col(url)), F.lit(int(max_links) + 1))
+    base = F.col(url).substr(
+        F.lit(1), F.length(url) - F.length(F.col(rep).cast("string")))
+    parts = [F.lit("<html><body>"), F.col(text)]
+    for j in range(max_links):
+        pick = F.pmod(md5_60bit(F.concat(F.col(url), F.lit(f"#m{j}"))),
+                      F.lit(2))
+        t = F.pmod(md5_60bit(F.concat(F.col(url), F.lit(f"#c{j}"))),
+                   F.lit(int(replicate)))
+        local = F.concat(F.lit('<a href="'), base, t.cast("string"),
+                         F.lit(f'">c{j}</a>'))
+        e = F.pmod(md5_60bit(F.concat(F.col(url), F.lit(f"#e{j}"))),
+                   F.lit(int(n_ext_hosts)))
+        ext = F.concat(F.lit('<a href="https://ext-'), e.cast("string"),
+                       F.lit(f'.example/p/{j}">e{j}</a>'))
+        a = F.when(pick == 0, local).otherwise(ext)
+        parts.append(F.when(F.lit(j) < n, a).otherwise(F.lit("")))
+    parts.append(F.lit("</body></html>"))
+    return df.withColumn(out, F.encode(F.concat(*parts), "utf-8"))
+
+
+def planted_mixed_anchors_sql(pages_inner: str, replicate: int,
+                              max_links: int = 3,
+                              n_ext_hosts: int = 61) -> str:
+    """DuckDB twin of :func:`with_planted_mixed_anchors` (url + html_s)."""
+    n = f"({md5_60bit_sql('url')}) % {int(max_links) + 1}"
+    base = "substr(url, 1, len(url) - len(CAST(rep AS VARCHAR)))"
+    anchors = []
+    for j in range(max_links):
+        h_pick = md5_60bit_sql(f"url || '#m{j}'")
+        h_t = md5_60bit_sql(f"url || '#c{j}'")
+        h_e = md5_60bit_sql(f"url || '#e{j}'")
+        pick = f"({h_pick}) % 2"
+        t = f"({h_t}) % {int(replicate)}"
+        local = (f"'<a href=\"' || {base} || CAST({t} AS VARCHAR) || "
+                 f"'\">c{j}</a>'")
+        e = f"({h_e}) % {int(n_ext_hosts)}"
+        ext = (f"'<a href=\"https://ext-' || CAST({e} AS VARCHAR) || "
+               f"'.example/p/{j}\">e{j}</a>'")
+        a = f"CASE WHEN {pick} = 0 THEN {local} ELSE {ext} END"
+        anchors.append(f"CASE WHEN {j} < {n} THEN {a} ELSE '' END")
+    body = " || ".join(["'<html><body>'", "text"] + anchors
+                       + ["'</body></html>'"])
+    return f"SELECT url, rep, {body} AS html_s FROM ({pages_inner})"
+
+
+def frontier_hosts(df: DataFrame, html: str = "html",
+                   url: str = "url") -> DataFrame:
+    """-> (host, n_links, n_src_urls, sample_url): the crawl FRONTIER
+    aggregated by target host — absolute outlinks whose target url is
+    NOT already in the corpus, i.e. exactly the rows a crawler feeds
+    back into scheduling (:func:`~geohash_dotnet_spark.operators.crawl.
+    crawl_slots` consumes the per-host expansion this ranks).
+    ``n_src_urls`` (distinct linking pages) is the spam-resistant
+    priority signal — a link farm inflates n_links, not source
+    diversity; ``sample_url`` = min(link) is a deterministic witness.
+
+    Scale shape (100 TB): extraction is the same codegen scan
+    projection as every links operator (the html payload dies in the
+    scan stage); the known/unknown split is ONE url-keyed LEFT ANTI
+    join — link rows against the corpus url dim, both sides
+    hash-partitioned on the key, the exact complement of
+    link_locality's inner join; the host aggregation collapses
+    map-side (pages linking one host repeatedly shrink before the
+    exchange). Relative links are dropped explicitly (they resolve
+    against a base url upstream of scheduling).
+    """
+    links = F.expr(
+        f"regexp_extract_all(decode({html}, 'UTF-8'), '{HREF_RE}', 1)")
+    src = (df.select(F.col(url).alias("src_url"),
+                     F.explode(links).alias("link"))
+           .where(F.col("link").rlike("^https?://")))
+    known = df.select(F.col(url).alias("link"))
+    return (src.join(known, "link", "left_anti")
+            .withColumn("host", F.regexp_extract("link", HOST_RE, 1))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_links"),
+                 F.countDistinct("src_url").alias("n_src_urls"),
+                 F.min("link").alias("sample_url")))
+
+
+def frontier_hosts_sql(pages_html_inner: str, pages_inner: str) -> str:
+    """DuckDB twin of :func:`frontier_hosts`: extraction replay + ANTI
+    JOIN against the corpus urls + host aggregation."""
+    ex = extract_links_sql(pages_html_inner)
+    return f"""
+SELECT regexp_extract(link, '{HOST_RE}', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_urls,
+       min(link) AS sample_url
+FROM (
+  SELECT e.url AS src_url, e.link
+  FROM ({ex}) e
+  ANTI JOIN ({pages_inner}) p ON e.link = p.url
+  WHERE regexp_matches(e.link, '^https?://')
+)
+GROUP BY 1
+"""

@@ -102,7 +102,7 @@ def test_window_boundary():
         # r3-green, unchanged; its per-(tile, day) lag shape shares the
         # daily-rollup machinery with the in-window tile_freshness and
         # the r4-green tile_anomaly, and is pinned by pytest goldens.
-        "event_sessions", "cover_tracks",
+        "cover_tracks",
         "tile_hotspots", "events_range_join",
         "events_time_rollup", "nearest_city", "tile_quality_dist",
         "simhash_pairs", "token_stats",
@@ -119,7 +119,13 @@ def test_window_boundary():
         # curation_pipeline composes the boilerplate stage under the
         # value gate, and its ngram/token machinery is shared with the
         # in-window token_stats.
-        "stratified_sample", "pii_scrub", "curation_pipeline",
+        # NOTE: r5 batch 10 (frontier_hosts, cluster_canonical)
+        # displaced event_sessions (sessionize parity-pinned by the
+        # native session_window streaming twin + gap-edge pytests) and
+        # stratified_sample (zero-shuffle md5-threshold machinery
+        # shared with the r4-green sample_exact family, pinned by the
+        # layout-independence pytest) — both r3-green, unchanged.
+        "pii_scrub", "curation_pipeline",
         # NOTE: hot_regions (r5 batch 7) displaced latest_snapshot:
         # r3-green, unchanged; struct-max shape pinned by the
         # window-equivalence + plan-shape pytests.
@@ -174,4 +180,5 @@ NEW_IN_R5 = {"knn_sites", "stay_points", "trip_stats",
              "tile_skew", "tile_freshness", "doc_keywords",
              "geo_text_search", "pq_topk", "crawl_slots", "hot_regions",
              "anchor_terms", "link_locality",
-             "containment_pairs", "site_footprint", "score_calibration"}
+             "containment_pairs", "site_footprint", "score_calibration",
+             "frontier_hosts", "cluster_canonical"}

@@ -309,3 +309,96 @@ def test_link_locality_validation(spark):
         link_locality(None, n_bands=0)
     with pytest.raises(ValueError):
         with_planted_local_anchors(None, replicate=0)
+
+
+# ---------------------------------------------------------------------------
+# frontier_hosts (crawl frontier discovery)
+# ---------------------------------------------------------------------------
+
+def _pages_with_html(spark, rows):
+    df = spark.createDataFrame(rows, "url string, html_s string")
+    from pyspark.sql import functions as F
+    return df.withColumn("html", F.encode("html_s", "utf-8")).drop("html_s")
+
+
+def test_frontier_hosts_known_unknown_split(spark):
+    """Links to corpus urls are dropped (they are crawled already);
+    off-corpus absolute links aggregate by host with distinct-source
+    counting; relative links are excluded."""
+    from geohash_dotnet_spark.operators.links import frontier_hosts
+
+    rows = [
+        ("https://a.example/p/1",
+         '<a href="https://a.example/p/2">in</a>'
+         '<a href="https://new.example/x">out</a>'
+         '<a href="https://new.example/y">out2</a>'
+         '<a href="/relative">rel</a>'),
+        ("https://a.example/p/2",
+         '<a href="https://new.example/x">dup-target</a>'
+         '<a href="https://other.example/z">o</a>'),
+    ]
+    out = {r["host"]: (r["n_links"], r["n_src_urls"], r["sample_url"])
+           for r in frontier_hosts(_pages_with_html(spark, rows)).collect()}
+    assert out == {
+        "new.example": (3, 2, "https://new.example/x"),
+        "other.example": (1, 1, "https://other.example/z"),
+    }
+
+
+def test_frontier_hosts_all_resolving_is_empty(spark):
+    """A fully self-contained corpus (every link resolves) has an empty
+    frontier — the anti-join complement of link_locality's inner join."""
+    from geohash_dotnet_spark.operators.links import frontier_hosts
+
+    rows = [
+        ("https://a.example/p/1", '<a href="https://a.example/p/2">n</a>'),
+        ("https://a.example/p/2", '<a href="https://a.example/p/1">b</a>'),
+    ]
+    assert frontier_hosts(_pages_with_html(spark, rows)).count() == 0
+
+
+def test_frontier_hosts_mixed_planting_exercises_both_branches(spark):
+    """The mixed-anchor builder plants BOTH resolving and off-corpus
+    anchors; frontier hosts must all be ext-*.example and the resolved
+    complement must be non-empty (both join branches live)."""
+    from pyspark.sql import functions as F
+
+    from geohash_dotnet_spark.operators.links import (
+        extract_links, frontier_hosts, with_planted_mixed_anchors)
+    from geohash_dotnet_spark.sources.pages import pages
+
+    pg = with_planted_mixed_anchors(
+        pages(spark, "/root/testdata/sf0.001", replicate=4), replicate=4)
+    fr = frontier_hosts(pg).collect()
+    assert fr and all(r["host"].startswith("ext-") for r in fr)
+    n_frontier = sum(r["n_links"] for r in fr)
+    n_abs = (extract_links(pg).where(F.col("link").rlike("^https?://"))
+             .count())
+    assert 0 < n_frontier < n_abs  # some links resolved, some didn't
+
+
+def test_frontier_hosts_html_never_crosses_exchange(spark):
+    """Extraction stays in the scan stage: no Exchange in the plan
+    carries the html payload, and no Python eval nodes exist."""
+    from geohash_dotnet_spark.operators.links import (
+        frontier_hosts, with_planted_mixed_anchors)
+    from geohash_dotnet_spark.sources.pages import pages
+
+    pg = with_planted_mixed_anchors(
+        pages(spark, "/root/testdata/sf0.001", replicate=2), replicate=2)
+    plan = (frontier_hosts(pg)
+            ._jdf.queryExecution().executedPlan().toString())
+    main = plan.split("Initial Plan")[0]
+    assert "BatchEvalPython" not in main and "ArrowEvalPython" not in main
+    for line in main.splitlines():
+        if "Exchange" in line:
+            assert "html" not in line, line
+
+
+def test_mixed_anchor_validation(spark):
+    from geohash_dotnet_spark.operators.links import with_planted_mixed_anchors
+    from geohash_dotnet_spark.sources.pages import pages
+
+    with pytest.raises(ValueError, match="must be >= 1"):
+        with_planted_mixed_anchors(
+            pages(spark, "/root/testdata/sf0.001"), replicate=0)

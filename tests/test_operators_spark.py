@@ -1040,3 +1040,50 @@ def test_containment_contained_id_tie_prefers_id_a(spark):
     [r] = containment_pairs(docs, threshold=0.9).collect()
     assert (r["id_a"], r["id_b"], r["contained_id"]) == (7, 9, 7)
     assert r["containment"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# cluster_canonical (survivor selection per near-dup cluster)
+# ---------------------------------------------------------------------------
+
+def test_cluster_canonical_picks_longest_then_smallest_id(spark):
+    """Two planted clusters: {1,2,3} (2 is longest) and {10, 11}
+    (equal length -> smallest id 10 wins). The unrelated doc emits no
+    cluster row (singletons are excluded upstream by construction)."""
+    from geohash_dotnet_spark.operators.dedup import (
+        cluster_canonical, release_dedup_cache)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, base + " iota"),          # longest member of cluster 1
+         (3, base + " x"),             # near-dup, shorter than 2
+         (10, "one two three four five six seven"),
+         (11, "one two three four five six eight"),  # same length as 10
+         (99, "totally unrelated content words here")],
+        "doc_id long, text string")
+    out = {r["cluster_id"]: (r["n_members"], r["canonical_id"],
+                             r["canonical_chars"])
+           for r in cluster_canonical(docs, threshold=0.4).collect()}
+    release_dedup_cache()
+    assert set(out) == {1, 10}
+    assert out[1] == (3, 2, len(base + " iota"))
+    n10, cid10, len10 = out[10]
+    assert (n10, cid10) == (2, 10)  # tie on length -> smaller id
+
+
+def test_cluster_canonical_no_window_no_sort_after_cc(spark):
+    """The argmax is a partial-aggregable struct-min: the plan after
+    the CC labels must contain no Window node and no Sort feeding it
+    (the latest_snapshot discipline)."""
+    from geohash_dotnet_spark.operators.dedup import (
+        cluster_canonical, release_dedup_cache)
+
+    docs = spark.createDataFrame(
+        [(i, "shared common text body here word" + str(i % 2))
+         for i in range(6)],
+        "doc_id long, text string")
+    plan = (cluster_canonical(docs, threshold=0.3)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    release_dedup_cache()
+    assert "Window" not in plan
