@@ -110,3 +110,66 @@ def test_pyfiles_zip_ships_package_to_executors():
         capture_output=True, text=True, timeout=600, env=env)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "PYFILES_SMOKE_OK" in proc.stdout
+
+
+SUBMIT_JOB = r"""
+import sys
+# --py-files is the ONLY route to the package here: fail loudly if the
+# repo leaked onto sys.path
+assert not any(p.rstrip("/").endswith("repo") for p in sys.path if p), sys.path
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from geohash_dotnet_spark.kernels import compress, cover_polygon
+from geohash_dotnet_spark.functions.native import with_geohash
+from geohash_dotnet_spark.sources.pages import pages
+
+spark = SparkSession.builder.getOrCreate()
+pg = pages(spark, "/root/testdata/sf0.001", replicate=4)
+cells = [str(c) for c in cover_polygon(
+    "POLYGON((-30 -20, 60 -20, 60 45, -30 45, -30 -20))", 2, "intersects")]
+fence = spark.createDataFrame([(c,) for c in compress(cells)], ["pfx"])
+tagged = with_geohash(pg, "lat", "lon", 2, out="gh")
+hit = tagged.join(F.broadcast(fence),
+                  tagged["gh"].startswith(F.col("pfx")), "left_semi")
+n, total = hit.count(), pg.count()
+assert 0 < n < total, (n, total)
+print(f"SUBMIT_OK inside={n} total={total}")
+spark.stop()
+"""
+
+
+def test_real_spark_submit_py_files_on_local_cluster(tmp_path):
+    """The north rule verbatim: `spark-submit --py-files pkg.zip` against
+    a multi-executor master (local-cluster[2,2,2048] — two separate
+    executor JVMs). The driver process gets NO repo PYTHONPATH; the
+    package must arrive via --py-files alone."""
+    import shutil
+    import zipfile
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        import pytest
+        pytest.skip("spark-submit binary not on this host")
+
+    zip_path = str(tmp_path / "ghpkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, dirs, files in os.walk(os.path.join(REPO,
+                                                      "geohash_dotnet_spark")):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    job = str(tmp_path / "job.py")
+    with open(job, "w") as f:
+        f.write(SUBMIT_JOB)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [spark_submit, "--master", "local-cluster[2,2,2048]",
+         "--conf", "spark.executor.memory=1500m",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, job],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "SUBMIT_OK" in proc.stdout, proc.stdout[-2000:]
