@@ -2158,7 +2158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tests/test_entry_oracle.py) always runs ALL keys regardless."""
     return {
         # --- last driver-checked in r3 or earlier: rotated back inside
-        # the window (44 keys; all unchanged since their last green row)
+        # the window (44 keys at the start of r5; batches 9-10 later
+        # displaced five of them — see the boundary comment — leaving
+        # 39 here, all unchanged since their last green row)
         "gh_encode_p5": q_encode_p5,
         "cover_california": q_cover_california,
         "cover_circles_table": q_cover_circles,
