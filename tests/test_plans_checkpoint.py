@@ -148,3 +148,35 @@ def test_checkpoint_then_bucket_composition(spark, sf_small, tmp_path):
     got = {r["tile"]: r["n_pages"] for r in agg.collect()}
     assert got == want
     spark.sql("DROP TABLE IF EXISTS t_ckpt_bucketed")
+
+
+def test_checkpointed_layout_prunes_partitions_at_the_scan(spark, tmp_path):
+    """The sink-side scale contract: a bucket-filtered read of the
+    partitionBy layout must prune at the DIRECTORY level — the scan's
+    PartitionFilters carries the bucket predicate, and the executed
+    file scan reads only the matching bucket's files (at 100 TB this is
+    the difference between touching one tile's directory and listing
+    the whole lake)."""
+    from pyspark.sql import functions as F
+
+    from geohash_dotnet_spark.functions.native import with_geohash
+    from geohash_dotnet_spark.sources.pages import pages
+
+    out = str(tmp_path / "part")
+    pg = with_geohash(pages(spark, "/root/testdata/sf0.001"),
+                      "lat", "lon", 1, out="gh")
+    (pg.withColumn("bucket", F.col("gh"))
+       .write.partitionBy("bucket").parquet(out))
+
+    back = (spark.read.option("basePath", out).parquet(out + "/bucket=*")
+            .filter(F.col("bucket") == "9"))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf and "9" in pf, pf
+    # value parity: pruned read == full-scan filter
+    full = spark.read.option("basePath", out).parquet(out + "/bucket=*")
+    assert back.count() == full.filter(F.col("bucket") == "9").count() > 0
+    # and the scan really skipped the other buckets' files
+    n_files = back.select(F.input_file_name()).distinct().collect()
+    assert all("/bucket=9/" in r[0] for r in n_files)
