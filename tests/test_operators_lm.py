@@ -279,3 +279,25 @@ def test_score_calibration_windows_ride_the_histogram_only(spark):
     for line in plan.splitlines():
         if "Window " in line or line.strip().startswith("Window"):
             assert "doc_id" not in line and "logit" not in line, line
+
+
+def test_score_calibration_histogram_stitch_broadcasts_under_aqe(spark):
+    """The docstring claim, at runtime: the (group, bucket) join that
+    stitches the histogram CDF back onto per-doc rows is converted to a
+    BroadcastHashJoin in the FINAL adaptive plan whenever the histogram
+    fits (it always does at mixture-domain group cardinality) — the
+    corpus side is never re-shuffled for the stitch."""
+    from geohash_dotnet_spark.operators import score_calibration
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i % 5} y{i % 3} z{i % 7} q{i % 2}", f"g{i % 3}")
+         for i in range(60)],
+        "doc_id long, text string, source string")
+    d = score_calibration(docs)
+    d.collect()  # same QueryExecution must run to finalize the plan
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    stitch = [l for l in final.splitlines()
+              if "Join" in l and "source" in l and "bucket" in l]
+    assert stitch and all("BroadcastHashJoin" in l for l in stitch), stitch
